@@ -1,0 +1,246 @@
+"""Rigid-body dynamics: RNEA, mass matrix, forward dynamics, integration.
+
+Capability parity with the XBot::ModelInterface dynamics the reference uses:
+``computeNonlinearTerm`` (/root/reference/src/QPPVMPlugin.cpp:65,264,312),
+``computeInverseDynamics`` (/root/reference/src/ForceAcc.cpp:217), the joint
+inertia matrix behind ``useInertiaMatrix(true)``
+(/root/reference/src/QPPVMPlugin.cpp:117,139), and floating-base support
+(``setFloatingBaseState``, /root/reference/src/ForceAcc.cpp:274).
+
+TPU-first notes: the RNEA sweep is a trace-time-unrolled recursion of tiny
+fused VPU ops (cheap, latency-bound); the mass matrix deliberately uses the
+dense world-frame form  B = sum_i J_i^T I_i J_i  — O(n^2) flops but pure
+batched matmul, which the MXU executes faster than a sequential CRBA would
+run on scalar units, and it vmaps cleanly over rollout batches.
+
+Generalized-vector layout (floating): ``[base(6, body-frame, angular-first);
+joints(nj)]`` for velocities u, accelerations udot and generalized forces.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from qppvm_tpu.model import kinematics, spatial
+from qppvm_tpu.model.robot import RobotModel, RobotState
+
+
+def _base_gravity_acc(model: RobotModel, state: RobotState):
+    """Fictitious root acceleration implementing gravity (body coords)."""
+    g = model.gravity.astype(state.q.dtype)
+    lin = -jnp.einsum("ji,j->i", state.base_rot, g)  # R^T (-g)
+    return jnp.concatenate([jnp.zeros(3, state.q.dtype), lin])
+
+
+def _ext_world_to_body(kin_R, f_world):
+    """World linear-first wrench [f; n] at link origin -> body angular-first."""
+    n_b = jnp.einsum("ji,j->i", kin_R, f_world[3:])
+    f_b = jnp.einsum("ji,j->i", kin_R, f_world[:3])
+    return jnp.concatenate([n_b, f_b])
+
+
+def rnea(
+    model: RobotModel,
+    state: RobotState,
+    udot: jax.Array,
+    gravity: bool = True,
+    ext_wrenches: Optional[jax.Array] = None,
+    kin: Optional[kinematics.KinData] = None,
+) -> jax.Array:
+    """Recursive Newton-Euler: generalized forces for motion ``udot``.
+
+    ``udot``: (nv,) accelerations.  ``ext_wrenches``: optional (nj, 6) external
+    wrenches applied at each link origin, world frame, linear-first (use zeros
+    where no force acts).  Returns (nv,) generalized forces: with
+    ``udot = 0`` this is the nonlinear term h(q, qd); with full ``udot`` it is
+    inverse dynamics.
+    """
+    nj = model.nj
+    dtype = state.q.dtype
+    if kin is None:
+        kin = kinematics.fk(model, state)
+
+    if model.floating:
+        base_udot = udot[:6]
+        qdd = udot[6:]
+        v_base = state.base_vel
+    else:
+        base_udot = jnp.zeros(6, dtype)
+        qdd = udot
+        v_base = jnp.zeros(6, dtype)
+
+    a_base = base_udot
+    if gravity:
+        a_base = a_base + _base_gravity_acc(model, state)
+
+    v = [None] * nj
+    a = [None] * nj
+    Es, pls = [], []
+    for i in range(nj):
+        E, pl = kinematics._joint_local(model, i, state.q[i])
+        Es.append(E)
+        pls.append(pl)
+        par = model.parent[i]
+        vp = v_base if par < 0 else v[par]
+        ap = a_base if par < 0 else a[par]
+        S = kinematics._motion_subspace_local(model, i, dtype)
+        vj = S * state.qd[i]
+        v[i] = spatial.xform_apply(E, pl, vp) + vj
+        a[i] = (
+            spatial.xform_apply(E, pl, ap)
+            + S * qdd[i]
+            + spatial.cross_motion(v[i], vj)
+        )
+
+    f = [None] * nj
+    for i in range(nj):
+        Iv = spatial.inertia_apply(model.inertia[i], v[i])
+        f[i] = spatial.inertia_apply(model.inertia[i], a[i]) + spatial.cross_force(v[i], Iv)
+        if ext_wrenches is not None:
+            f[i] = f[i] - _ext_world_to_body(kin.R[i], ext_wrenches[i])
+
+    tau = [None] * nj
+    f_base = spatial.inertia_apply(model.base_inertia, a_base) + spatial.cross_force(
+        v_base, spatial.inertia_apply(model.base_inertia, v_base)
+    )
+    for i in range(nj - 1, -1, -1):
+        S = kinematics._motion_subspace_local(model, i, dtype)
+        tau[i] = jnp.dot(S, f[i])
+        par = model.parent[i]
+        fp = spatial.xform_force_inv_apply(Es[i], pls[i], f[i])
+        if par < 0:
+            f_base = f_base + fp
+        else:
+            f[par] = f[par] + fp
+
+    tau = jnp.stack(tau)
+    if model.floating:
+        return jnp.concatenate([f_base, tau])
+    return tau
+
+
+def nonlinear_term(model: RobotModel, state: RobotState,
+                   kin: Optional[kinematics.KinData] = None) -> jax.Array:
+    """h(q, qd) = C(q, qd) qd + g(q)  (XBot computeNonlinearTerm,
+    /root/reference/src/QPPVMPlugin.cpp:65)."""
+    nv = model.nv
+    return rnea(model, state, jnp.zeros(nv, state.q.dtype), gravity=True, kin=kin)
+
+
+def inverse_dynamics(model: RobotModel, state: RobotState, udot: jax.Array,
+                     kin: Optional[kinematics.KinData] = None) -> jax.Array:
+    """tau = ID(q, qd, qdd)  (XBot computeInverseDynamics,
+    /root/reference/src/ForceAcc.cpp:217)."""
+    return rnea(model, state, udot, gravity=True, kin=kin)
+
+
+def _internal_jacobians(model: RobotModel, kin: kinematics.KinData):
+    """(nj, 6, nv) angular-first spatial Jacobians at link origins (world
+    orientation) — public Jacobians with row blocks swapped."""
+    Jpub = kinematics.all_link_jacobians(model, kin)
+    return jnp.concatenate([Jpub[:, 3:, :], Jpub[:, :3, :]], axis=1)
+
+
+def mass_matrix(model: RobotModel, state: RobotState,
+                kin: Optional[kinematics.KinData] = None) -> jax.Array:
+    """(nv, nv) joint-space inertia matrix B(q) via the dense world-frame form
+    B = sum_i J_i^T I_i^w J_i  (batched matmuls -> MXU)."""
+    if kin is None:
+        kin = kinematics.fk(model, state)
+    J = _internal_jacobians(model, kin)                       # (nj, 6, nv)
+    R = kin.R
+    Rot6 = jnp.zeros((model.nj, 6, 6), dtype=R.dtype)
+    Rot6 = Rot6.at[:, :3, :3].set(R).at[:, 3:, 3:].set(R)
+    I_w = Rot6 @ model.inertia @ jnp.swapaxes(Rot6, -1, -2)   # (nj, 6, 6)
+    B = jnp.einsum("nri,nrs,nsj->ij", J, I_w, J)
+    if model.floating:
+        Rb6 = jnp.zeros((6, 6), dtype=R.dtype)
+        Rb6 = Rb6.at[:3, :3].set(kin.base_R).at[3:, 3:].set(kin.base_R)
+        Jb = jnp.zeros((6, model.nv), dtype=R.dtype)
+        Jb = Jb.at[:, :6].set(Rb6)
+        I_bw = Rb6 @ model.base_inertia @ Rb6.T
+        B = B + Jb.T @ I_bw @ Jb
+    return B
+
+
+def forward_dynamics(model: RobotModel, state: RobotState, tau: jax.Array,
+                     ext_wrenches: Optional[jax.Array] = None,
+                     kin: Optional[kinematics.KinData] = None) -> jax.Array:
+    """udot = B^{-1} (S^T tau + tau_ext - h). ``tau``: (nj,) actuated torques.
+
+    Dense Cholesky solve — exact, batched, MXU-friendly at WBC sizes.
+    """
+    if kin is None:
+        kin = kinematics.fk(model, state)
+    h = rnea(model, state, jnp.zeros(model.nv, state.q.dtype), gravity=True,
+             ext_wrenches=ext_wrenches, kin=kin)
+    B = mass_matrix(model, state, kin=kin)
+    if model.floating:
+        tau_gen = jnp.concatenate([jnp.zeros(6, tau.dtype), tau])
+    else:
+        tau_gen = tau
+    rhs = tau_gen - h
+    L = jnp.linalg.cholesky(B + 1e-9 * jnp.eye(model.nv, dtype=B.dtype))
+    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+def integrate(model: RobotModel, state: RobotState, udot: jax.Array,
+              dt) -> RobotState:
+    """Semi-implicit Euler; floating-base pose integrated on SE(3)."""
+    if model.floating:
+        base_vel = state.base_vel + dt * udot[:6]
+        qd = state.qd + dt * udot[6:]
+        q = state.q + dt * qd
+        w_b = base_vel[:3]
+        v_b = base_vel[3:]
+        base_rot = state.base_rot @ spatial.so3_exp(w_b * dt)
+        base_pos = state.base_pos + dt * (state.base_rot @ v_b)
+        return RobotState(q=q, qd=qd, base_rot=base_rot, base_pos=base_pos,
+                          base_vel=base_vel)
+    qd = state.qd + dt * udot
+    q = state.q + dt * qd
+    return RobotState(q=q, qd=qd, base_rot=state.base_rot,
+                      base_pos=state.base_pos, base_vel=state.base_vel)
+
+
+def kinetic_energy(model: RobotModel, state: RobotState,
+                   kin: Optional[kinematics.KinData] = None) -> jax.Array:
+    u = state.u if model.floating else state.qd
+    B = mass_matrix(model, state, kin=kin)
+    return 0.5 * u @ B @ u
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ModelData:
+    """Everything tasks need, computed once per control step — the analog of
+    XBot's model->update() caching (/root/reference/src/QPPVMPlugin.cpp:352)."""
+
+    kin: kinematics.KinData
+    B: jax.Array       # (nv, nv)
+    h: jax.Array       # (nv,)
+    Binv: jax.Array    # (nv, nv)
+    J_all: jax.Array   # (nj, 6, nv) public world Jacobians at link origins
+    vel_all: jax.Array  # (nj, 6) world link twists [v; w]
+    bias_all: jax.Array  # (nj, 6) classical Jdot*u at link origins
+    com_pos: jax.Array  # (3,)
+    total_mass: jax.Array  # ()
+
+
+def compute_model_data(model: RobotModel, state: RobotState) -> ModelData:
+    kin = kinematics.fk(model, state)
+    B = mass_matrix(model, state, kin=kin)
+    h = nonlinear_term(model, state, kin=kin)
+    Binv = jnp.linalg.inv(B + 1e-9 * jnp.eye(model.nv, dtype=B.dtype))
+    J_all = kinematics.all_link_jacobians(model, kin)
+    u = state.u if model.floating else state.qd
+    vel_all = jnp.einsum("nrv,v->nr", J_all, u)
+    bias_all = kinematics.bias_accelerations(model, kin, state)
+    total_mass, com_pos = kinematics.com(model, kin)
+    return ModelData(kin=kin, B=B, h=h, Binv=Binv, J_all=J_all,
+                     vel_all=vel_all, bias_all=bias_all, com_pos=com_pos,
+                     total_mass=total_mass)

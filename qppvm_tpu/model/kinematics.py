@@ -1,0 +1,247 @@
+"""Batched forward kinematics, Jacobians, CoM and bias accelerations.
+
+Equivalent capability to the XBot::ModelInterface kinematic queries the
+reference exercises: ``getPose`` (/root/reference/src/QPPVMPlugin.cpp:272,287),
+``getJacobian`` (/root/reference/src/ForceAcc.cpp:208), ``getPointPosition``
+(/root/reference/src/ForceAcc.cpp:164), plus the Jdot*qd ("bias acceleration")
+term needed by acceleration-level Cartesian tasks.
+
+TPU-first design: the per-joint FK recursion is unrolled at trace time (static
+topology, ~10-40 joints), while everything downstream — Jacobians for *all*
+links, CoM, the mass matrix — is expressed as dense batched matmul/einsum over
+an ``(nj, ...)`` leading axis so XLA tiles it onto the MXU/VPU and ``vmap``
+adds rollout batching for free.
+
+Public conventions: world frame, linear-first twists/wrenches ``[v; w]`` /
+``[f; n]``. Internal generalized-velocity layout for floating models:
+``u = [base_twist_body (w,v); qd]``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qppvm_tpu.model import spatial
+from qppvm_tpu.model.robot import PRISMATIC, REVOLUTE, RobotModel, RobotState
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KinData:
+    """Per-step kinematic data for all links (leading axis nj)."""
+
+    R: jax.Array      # (nj, 3, 3) world-from-link rotation
+    p: jax.Array      # (nj, 3)   link origin in world
+    S_ang: jax.Array  # (nj, 3)   world-frame angular part of joint motion axis
+    S_lin_at: jax.Array  # (nj, 3) world joint-axis origin (for point transfer)
+    base_R: jax.Array  # (3, 3)
+    base_p: jax.Array  # (3,)
+
+
+def _joint_local(model: RobotModel, i: int, qi):
+    """Local (E, p): child-link-i frame from parent-link frame at angle qi."""
+    E_tree = model.E_tree[i]
+    p_tree = model.p_tree[i]
+    axis = model.axis[i]
+    if model.joint_type[i] == REVOLUTE:
+        Ej = spatial.rot_axis_angle(axis, qi)
+        return Ej @ E_tree, p_tree
+    elif model.joint_type[i] == PRISMATIC:
+        return E_tree, p_tree + jnp.einsum("ji,j->i", E_tree, axis * qi)
+    raise ValueError(f"unknown joint type {model.joint_type[i]}")
+
+
+def fk(model: RobotModel, state: RobotState) -> KinData:
+    """World pose of every link frame + world joint axes (unrolled recursion)."""
+    Rs, ps = [], []
+    Sang, Slin_at = [], []
+    base_R, base_p = state.base_rot, state.base_pos
+    for i in range(model.nj):
+        E, pl = _joint_local(model, i, state.q[i])
+        par = model.parent[i]
+        Rp = base_R if par < 0 else Rs[par]
+        pp = base_p if par < 0 else ps[par]
+        R_wi = Rp @ E.T  # E maps parent->child coords, so child->parent is E.T
+        p_wi = pp + Rp @ pl
+        Rs.append(R_wi)
+        ps.append(p_wi)
+        a_w = R_wi @ model.axis[i]
+        Sang.append(a_w)
+        Slin_at.append(p_wi)
+    return KinData(
+        R=jnp.stack(Rs), p=jnp.stack(ps),
+        S_ang=jnp.stack(Sang), S_lin_at=jnp.stack(Slin_at),
+        base_R=base_R, base_p=base_p,
+    )
+
+
+def _ancestor_mask(model: RobotModel) -> jnp.ndarray:
+    return jnp.asarray(model.ancestor_mask())
+
+
+def point_jacobians(model: RobotModel, kin: KinData, points_w: jax.Array,
+                    link_idx_mask: jax.Array) -> jax.Array:
+    """Jacobian (L, 6, nv) for L world points attached to given links.
+
+    ``points_w``: (L, 3) world points; ``link_idx_mask``: (L, nj) bool — joint j
+    moves point l. Rows: linear-first [v; w]. Columns: [base(6, body twist,
+    (w,v) order); qd] when floating, else [qd].
+    """
+    nj = model.nj
+    dtype = points_w.dtype
+    is_rev = jnp.asarray(
+        np.array([t == REVOLUTE for t in model.joint_type]), dtype=bool)
+
+    # Per (point, joint) columns.
+    r = points_w[:, None, :] - kin.S_lin_at[None, :, :]       # (L, nj, 3)
+    ang_rev = jnp.broadcast_to(kin.S_ang[None], r.shape)      # (L, nj, 3)
+    lin_rev = jnp.cross(ang_rev, r)                           # (L, nj, 3)
+    lin_pri = jnp.broadcast_to(kin.S_ang[None], r.shape)
+    zero = jnp.zeros_like(r)
+    ang = jnp.where(is_rev[None, :, None], ang_rev, zero)
+    lin = jnp.where(is_rev[None, :, None], lin_rev, lin_pri)
+    mask = link_idx_mask[..., None].astype(dtype)
+    Jq = jnp.concatenate([lin * mask, ang * mask], axis=-1)   # (L, nj, 6)
+    Jq = jnp.swapaxes(Jq, -1, -2)                             # (L, 6, nj)
+
+    if not model.floating:
+        return Jq
+
+    # Base columns: point twist from body-frame base twist [w_b; v_b].
+    Rb = kin.base_R
+    rb = points_w - kin.base_p[None, :]                       # (L, 3)
+    J_lin_w = -spatial.skew(rb) @ Rb                          # (L, 3, 3)
+    J_lin_v = jnp.broadcast_to(Rb[None], J_lin_w.shape)
+    J_ang_w = jnp.broadcast_to(Rb[None], J_lin_w.shape)
+    J_ang_v = jnp.zeros_like(J_lin_w)
+    Jb = jnp.concatenate(
+        [
+            jnp.concatenate([J_lin_w, J_lin_v], axis=-1),
+            jnp.concatenate([J_ang_w, J_ang_v], axis=-1),
+        ],
+        axis=-2,
+    )                                                          # (L, 6, 6)
+    return jnp.concatenate([Jb, Jq], axis=-1)
+
+
+def all_link_jacobians(model: RobotModel, kin: KinData) -> jax.Array:
+    """(nj, 6, nv) world Jacobians at every link origin (linear-first rows)."""
+    mask = _ancestor_mask(model)
+    return point_jacobians(model, kin, kin.p, mask)
+
+
+def link_jacobian(model: RobotModel, kin: KinData, link: str) -> jax.Array:
+    """(6, nv) world Jacobian of a named link frame origin
+    (XBot getJacobian, /root/reference/src/ForceAcc.cpp:208)."""
+    li = model.link_index(link)
+    if li < 0:  # root link
+        if not model.floating:
+            return jnp.zeros((6, model.nv), dtype=kin.p.dtype)
+        pts = kin.base_p[None]
+        m = jnp.zeros((1, model.nj), dtype=bool)
+        return point_jacobians(model, kin, pts, m)[0]
+    mask = _ancestor_mask(model)[li][None]
+    return point_jacobians(model, kin, kin.p[li][None], mask)[0]
+
+
+def link_pose(model: RobotModel, kin: KinData, link: str):
+    """(R, p) world pose of a named link (XBot getPose,
+    /root/reference/src/QPPVMPlugin.cpp:272)."""
+    li = model.link_index(link)
+    if li < 0:
+        return kin.base_R, kin.base_p
+    return kin.R[li], kin.p[li]
+
+
+def point_position(model: RobotModel, kin: KinData, link: str, local_point):
+    """World position of a point given in link coords
+    (XBot getPointPosition, /root/reference/src/ForceAcc.cpp:164)."""
+    R, p = link_pose(model, kin, link)
+    return p + R @ jnp.asarray(local_point, dtype=p.dtype)
+
+
+def com(model: RobotModel, kin: KinData):
+    """(total_mass, com_world (3,)). Includes the root link for floating
+    models."""
+    # spatial.mcI stores m*skew(c) in the (0:3, 3:6) block and m*I3 in the
+    # (3:6, 3:6) block; recover m and m*c from those entries:
+    # m*cx = M[2,4], m*cy = M[0,5], m*cz = M[1,3].
+    m_links = model.inertia[:, 5, 5]                          # (nj,)
+    mc_local = jnp.stack(
+        [model.inertia[:, 2, 4], model.inertia[:, 0, 5], model.inertia[:, 1, 3]],
+        axis=-1,
+    )
+    com_w = kin.p + jnp.einsum("nij,nj->ni", kin.R, mc_local / jnp.maximum(m_links, 1e-12)[:, None])
+    total = jnp.sum(m_links)
+    weighted = jnp.sum(m_links[:, None] * com_w, axis=0)
+    if model.floating:
+        mb = model.base_inertia[5, 5]
+        cb_local = jnp.stack(
+            [model.base_inertia[2, 4], model.base_inertia[0, 5], model.base_inertia[1, 3]]
+        ) / jnp.maximum(mb, 1e-12)
+        com_b = kin.base_p + kin.base_R @ cb_local
+        total = total + mb
+        weighted = weighted + mb * com_b
+    return total, weighted / jnp.maximum(total, 1e-12)
+
+
+def link_velocities(model: RobotModel, kin: KinData, state: RobotState) -> jax.Array:
+    """(nj, 6) world twist [v; w] of each link origin = J_all @ u."""
+    J = all_link_jacobians(model, kin)
+    u = state.u if model.floating else state.qd
+    return jnp.einsum("nrv,v->nr", J, u)
+
+
+def bias_accelerations(model: RobotModel, kin: KinData, state: RobotState) -> jax.Array:
+    """(nj, 6) classical bias acceleration Jdot*u of each link origin,
+    linear-first world frame (the Jdot*qd term of acceleration Cartesian
+    tasks: xdd = J*udot + Jdot*u).
+
+    Computed by propagating body-frame spatial velocity/acceleration with
+    udot = 0 and no gravity, then converting spatial->classical at each link
+    origin: p_dd = a_lin + w x v_lin.
+    """
+    nj = model.nj
+    dtype = state.q.dtype
+    v_body = [None] * nj
+    a_body = [None] * nj
+
+    vb = state.base_vel if model.floating else jnp.zeros(6, dtype)
+    ab = jnp.zeros(6, dtype)
+
+    Es, pls = [], []
+    for i in range(nj):
+        E, pl = _joint_local(model, i, state.q[i])
+        Es.append(E)
+        pls.append(pl)
+        par = model.parent[i]
+        vp = vb if par < 0 else v_body[par]
+        ap = ab if par < 0 else a_body[par]
+        S = _motion_subspace_local(model, i, dtype)
+        vj = S * state.qd[i]
+        v_i = spatial.xform_apply(E, pl, vp) + vj
+        a_i = spatial.xform_apply(E, pl, ap) + spatial.cross_motion(v_i, vj)
+        v_body[i] = v_i
+        a_body[i] = a_i
+
+    v_body = jnp.stack(v_body)   # (nj, 6) [w; v] body coords
+    a_body = jnp.stack(a_body)
+    # Rotate to world orientation (reference point stays the link origin).
+    w_w = jnp.einsum("nij,nj->ni", kin.R, v_body[:, :3])
+    v_w = jnp.einsum("nij,nj->ni", kin.R, v_body[:, 3:])
+    aw_ang = jnp.einsum("nij,nj->ni", kin.R, a_body[:, :3])
+    aw_lin = jnp.einsum("nij,nj->ni", kin.R, a_body[:, 3:])
+    lin_cl = aw_lin + jnp.cross(w_w, v_w)
+    return jnp.concatenate([lin_cl, aw_ang], axis=-1)
+
+
+def _motion_subspace_local(model: RobotModel, i: int, dtype):
+    ax = model.axis[i].astype(dtype)
+    z = jnp.zeros(3, dtype)
+    if model.joint_type[i] == REVOLUTE:
+        return jnp.concatenate([ax, z])
+    return jnp.concatenate([z, ax])

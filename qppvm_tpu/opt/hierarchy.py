@@ -1,0 +1,119 @@
+"""Hierarchical (prioritized) QP cascade.
+
+Reproduces the semantics of OpenSoT's ``QPOases_sot``
+(/root/reference/src/QPPVMPlugin.cpp:188,246; /root/reference/src/ForceAcc.cpp:135-137):
+one QP per priority level; level k minimizes its own task residual plus an
+eps-regularization, subject to the stack's constraints/bounds AND equality
+locks ``A_j x = A_j x_j*`` for every higher-priority level j < k, so lower
+levels act only in the null space of higher ones.
+
+All level shapes are static, so the full cascade jits into one XLA program;
+warm-start state is a per-level list of ``QPState``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qppvm_tpu.opt import qp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LevelData:
+    """One priority level: minimize ||A x - b||^2 (rows pre-weighted)."""
+
+    A: jax.Array  # (k, n)
+    b: jax.Array  # (k,)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StackData:
+    """Numeric data of a whole prioritized stack for one control tick."""
+
+    levels: Tuple[LevelData, ...]
+    C: jax.Array   # (mc, n) general constraint rows (may be 0-row)
+    lC: jax.Array  # (mc,)
+    uC: jax.Array  # (mc,)
+    lb: jax.Array  # (n,) box bounds on x (torque limits etc.)
+    ub: jax.Array  # (n,)
+
+
+def warm_start_init(stack: StackData) -> Tuple[qp.QPState, ...]:
+    n = stack.lb.shape[0]
+    mc = stack.C.shape[0]
+    states = []
+    extra = 0
+    for lv in stack.levels:
+        m = mc + n + extra
+        states.append(qp.QPState.zero(n, m, stack.lb.dtype))
+        extra += lv.A.shape[0]
+    return tuple(states)
+
+
+def solve(
+    stack: StackData,
+    warm: Optional[Tuple[qp.QPState, ...]] = None,
+    *,
+    eps: float = 1.0,
+    eps_abs_scale: float = 1e-6,
+    iters: int = 80,
+    refine: int = 2,
+    rho: float = 0.1,
+):
+    """Solve the cascade. Returns (x, warm_states, infos).
+
+    ``eps`` is the OpenSoT-style regularization knob (1.0 in QPPVM at
+    /root/reference/src/QPPVMPlugin.cpp:188, 1e4 in ForceAcc at
+    /root/reference/src/ForceAcc.cpp:137); the effective Tikhonov weight is
+    ``eps * eps_abs_scale * mean(diag(A^T A))`` so it scales with the task.
+    """
+    n = stack.lb.shape[0]
+    dtype = stack.lb.dtype
+    I = jnp.eye(n, dtype=dtype)
+
+    x_prev: Optional[jax.Array] = None
+    locked_rows: List[jax.Array] = []
+    locked_vals: List[jax.Array] = []
+    new_states = []
+    infos = []
+
+    for k, lv in enumerate(stack.levels):
+        P = lv.A.T @ lv.A
+        reg = eps * eps_abs_scale * (jnp.trace(P) / n + 1.0)
+        P = P + reg * I
+        qv = -(lv.A.T @ lv.b)
+
+        rows = [stack.C, I] + locked_rows
+        lo = [stack.lC, stack.lb] + locked_vals
+        hi = [stack.uC, stack.ub] + locked_vals
+        A_full = jnp.concatenate(rows, axis=0)
+        l_full = jnp.concatenate(lo, axis=0)
+        u_full = jnp.concatenate(hi, axis=0)
+
+        prob = qp.QPProblem(P=P, q=qv, A=A_full, l=l_full, u=u_full)
+        st = warm[k] if warm is not None else None
+        x, st_new, info = qp.solve(prob, st, iters=iters, refine=refine,
+                                   rho=rho)
+        new_states.append(st_new)
+        infos.append(info)
+
+        locked_rows.append(lv.A)
+        locked_vals.append(lv.A @ x)
+        x_prev = x
+
+    return x_prev, tuple(new_states), tuple(infos)
+
+
+def solve_failed(infos, tol: float = 1e-2) -> jax.Array:
+    """Scalar bool: any level left a large primal residual (infeasible /
+    unconverged) — drives the zero-torque fallback that mirrors
+    /root/reference/src/QPPVMPlugin.cpp:246-249."""
+    bad = jnp.zeros((), dtype=bool)
+    for info in infos:
+        bad = bad | (info.prim_res > tol) | ~jnp.isfinite(info.obj)
+    return bad
