@@ -1,0 +1,86 @@
+"""Benchmark: whole-body QP solves/s/chip + p99 step latency vs the 1 ms
+real-time budget (BASELINE.md north star: >= 10k solves/s/chip at 30+ DoF).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Runs on whatever jax.devices() provides (the driver runs it on one real TPU
+chip; JAX_PLATFORMS=cpu works for local smoke tests).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TARGET_SOLVES_PER_S = 10_000.0  # BASELINE.json north-star target
+BUDGET_MS = 1.0
+
+
+def main():
+    from qppvm_tpu.model import zoo
+    from qppvm_tpu.plugins.force_acc import ForceAccPlugin
+
+    model = zoo.humanoid()  # 32 DoF + floating base
+    plugin = ForceAccPlugin(
+        model, contact_links=("l_sole", "r_sole"), waist_link="pelvis",
+        iters=30)
+    state = model.home_state()
+    refs, warm, _ = plugin.on_start(state)
+
+    # ---- throughput: batched full WBC steps (one QP cascade per item) ----
+    BATCH = 1024
+    step = jax.jit(jax.vmap(lambda s, r, w: plugin._step_impl(s, r, w)[0]))
+    states = jax.tree.map(lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape),
+                          state)
+    refs_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape),
+                          refs)
+    warm_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape),
+                          warm)
+    # vary states slightly so nothing is constant-folded
+    key = jax.random.PRNGKey(0)
+    dq = 0.01 * jax.random.normal(key, (BATCH, model.nj), jnp.float32)
+    states = jax.tree.map(lambda a: a, states)
+    import dataclasses
+    states = dataclasses.replace(states, q=states.q + dq)
+
+    tau = step(states, refs_b, warm_b)
+    tau.block_until_ready()  # compile + warm
+
+    n_rep = 10
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        tau = step(states, refs_b, warm_b)
+    tau.block_until_ready()
+    dt_total = (time.perf_counter() - t0) / n_rep
+    solves_per_s = BATCH / dt_total
+
+    # ---- latency: single-step (batch=1) p50/p99 --------------------------
+    step1 = jax.jit(lambda s, r, w: plugin._step_impl(s, r, w)[0])
+    t1 = step1(state, refs, warm)
+    t1.block_until_ready()
+    lats = []
+    for _ in range(200):
+        t0 = time.perf_counter()
+        step1(state, refs, warm).block_until_ready()
+        lats.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(lats, 50) * 1e3)
+    p99 = float(np.percentile(lats, 99) * 1e3)
+
+    print(json.dumps({
+        "metric": "wbc_qp_solves_per_s_per_chip",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / TARGET_SOLVES_PER_S, 3),
+        "batch": BATCH,
+        "dof": model.nv,
+        "p50_step_ms": round(p50, 3),
+        "p99_step_ms": round(p99, 3),
+        "p99_within_budget": p99 <= BUDGET_MS,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

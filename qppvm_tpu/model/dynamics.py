@@ -116,7 +116,7 @@ def rnea(
         else:
             f[par] = f[par] + fp
 
-    tau = jnp.stack(tau)
+    tau = jnp.stack(tau) + model.armature.astype(dtype) * qdd
     if model.floating:
         return jnp.concatenate([f_base, tau])
     return tau
@@ -163,6 +163,9 @@ def mass_matrix(model: RobotModel, state: RobotState,
         Jb = Jb.at[:, :6].set(Rb6)
         I_bw = Rb6 @ model.base_inertia @ Rb6.T
         B = B + Jb.T @ I_bw @ Jb
+    off = 6 if model.floating else 0
+    idx = jnp.arange(model.nj) + off
+    B = B.at[idx, idx].add(model.armature.astype(B.dtype))
     return B
 
 
@@ -229,6 +232,52 @@ class ModelData:
     bias_all: jax.Array  # (nj, 6) classical Jdot*u at link origins
     com_pos: jax.Array  # (3,)
     total_mass: jax.Array  # ()
+    base_vel: jax.Array  # (6,) [w; v] body coords (copy of state.base_vel)
+
+
+def frame_data(model: RobotModel, data: "ModelData", name: str):
+    """(R, p, J, vel, bias) of a link origin OR an extra named frame (URDF
+    fixed-joint child after lumping). Quantities transferred from the parent
+    link by the rigid point offset r:  v_f = v_l + w x r,
+    J_lin_f = J_lin_l - skew(r) J_ang,  bias_lin_f = bias_lin_l +
+    bias_ang x r + w x (w x r)."""
+    kin = data.kin
+    spec = model.frame_spec(name)
+    if spec is None:
+        li = model.link_index(name)
+        if li >= 0:
+            return (kin.R[li], kin.p[li], data.J_all[li], data.vel_all[li],
+                    data.bias_all[li])
+        # root link frame
+        R, p = kin.base_R, kin.base_p
+        J = kinematics.link_jacobian(model, kin, name)
+        if not model.floating:
+            z6 = jnp.zeros(6, p.dtype)
+            return R, p, J, z6, z6
+        w_b, v_b = data.base_vel[:3], data.base_vel[3:]
+        vel = jnp.concatenate([R @ v_b, R @ w_b])
+        bias = jnp.concatenate([R @ jnp.cross(w_b, v_b), jnp.zeros(3, p.dtype)])
+        return R, p, J, vel, bias
+    li, E_off, p_off = spec
+    if li < 0:
+        raise NotImplementedError("extra frames on the root link of floating "
+                                  "models: attach to a child link instead")
+    Rl, pl = kin.R[li], kin.p[li]
+    E_off = jnp.asarray(E_off, Rl.dtype)
+    p_off = jnp.asarray(p_off, pl.dtype)
+    R = Rl @ E_off
+    p = pl + Rl @ p_off
+    r = Rl @ p_off
+    S = spatial.skew(r)
+    Jl = data.J_all[li]
+    vl = data.vel_all[li]
+    bl = data.bias_all[li]
+    J = jnp.concatenate([Jl[:3] - S @ Jl[3:], Jl[3:]], axis=0)
+    w = vl[3:]
+    vel = jnp.concatenate([vl[:3] + jnp.cross(w, r), w])
+    bias_lin = bl[:3] + jnp.cross(bl[3:], r) + jnp.cross(w, jnp.cross(w, r))
+    bias = jnp.concatenate([bias_lin, bl[3:]])
+    return R, p, J, vel, bias
 
 
 def compute_model_data(model: RobotModel, state: RobotState) -> ModelData:
@@ -243,4 +292,4 @@ def compute_model_data(model: RobotModel, state: RobotState) -> ModelData:
     total_mass, com_pos = kinematics.com(model, kin)
     return ModelData(kin=kin, B=B, h=h, Binv=Binv, J_all=J_all,
                      vel_all=vel_all, bias_all=bias_all, com_pos=com_pos,
-                     total_mass=total_mass)
+                     total_mass=total_mass, base_vel=state.base_vel)

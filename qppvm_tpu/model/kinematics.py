@@ -149,8 +149,15 @@ def link_jacobian(model: RobotModel, kin: KinData, link: str) -> jax.Array:
 
 
 def link_pose(model: RobotModel, kin: KinData, link: str):
-    """(R, p) world pose of a named link (XBot getPose,
+    """(R, p) world pose of a named link or extra frame (XBot getPose,
     /root/reference/src/QPPVMPlugin.cpp:272)."""
+    spec = model.frame_spec(link)
+    if spec is not None:
+        li, E_off, p_off = spec
+        Rp, pp = (kin.base_R, kin.base_p) if li < 0 else (kin.R[li], kin.p[li])
+        E_off = jnp.asarray(E_off, Rp.dtype)
+        p_off = jnp.asarray(p_off, pp.dtype)
+        return Rp @ E_off, pp + Rp @ p_off
     li = model.link_index(link)
     if li < 0:
         return kin.base_R, kin.base_p

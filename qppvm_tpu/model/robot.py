@@ -52,6 +52,7 @@ class RobotModel:
     q_max: jax.Array  # (nj,)
     tau_max: jax.Array  # (nj,) effort limits (XBot getEffortLimits)
     v_max: jax.Array  # (nj,) velocity limits
+    armature: jax.Array  # (nj,) reflected rotor inertia added on B's diagonal
     gravity: jax.Array  # (3,) world-frame gravity acceleration
 
     # --- static metadata ------------------------------------------------
@@ -61,6 +62,11 @@ class RobotModel:
     link_names: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True))
     root_name: str = dataclasses.field(metadata=dict(static=True))
     floating: bool = dataclasses.field(metadata=dict(static=True))
+    # Extra named frames rigidly attached to links (URDF fixed-joint children
+    # after lumping): name -> (parent link idx [-1 = root], E row-major 9-tuple,
+    # p 3-tuple). Static metadata (hashable, trace-time constant).
+    frames: Tuple[Tuple[str, int, Tuple[float, ...], Tuple[float, ...]], ...] = \
+        dataclasses.field(default=(), metadata=dict(static=True))
 
     # ---------------------------------------------------------------------
     @property
@@ -79,7 +85,24 @@ class RobotModel:
     def link_index(self, link_name: str) -> int:
         if link_name == self.root_name:
             return -1
-        return self.link_names.index(link_name)
+        try:
+            return self.link_names.index(link_name)
+        except ValueError:
+            raise KeyError(
+                f"unknown link {link_name!r}; known links: "
+                f"{(self.root_name,) + self.link_names}, frames: "
+                f"{tuple(f[0] for f in self.frames)}") from None
+
+    def frame_spec(self, name: str):
+        """(parent_link_idx, E_off, p_off) for an extra frame, else None."""
+        for fname, li, E, p in self.frames:
+            if fname == name:
+                import numpy as _np
+                return li, _np.asarray(E, float).reshape(3, 3), _np.asarray(p, float)
+        return None
+
+    def is_frame(self, name: str) -> bool:
+        return any(f[0] == name for f in self.frames)
 
     def ancestor_mask(self) -> np.ndarray:
         """(nj, nj) bool; m[l, j] = joint j is on the path root->link l.
@@ -134,6 +157,9 @@ class RobotState:
         know model.floating; provided for floating models."""
         return jnp.concatenate([self.base_vel, self.qd])
 
+    def astype(self, dtype) -> "RobotState":
+        return jax.tree.map(lambda a: jnp.asarray(a, dtype), self)
+
 
 def build_model(
     *,
@@ -157,6 +183,7 @@ def build_model(
     q_max=None,
     tau_max=None,
     v_max=None,
+    armature=None,
     gravity=(0.0, 0.0, -9.81),
     dtype=jnp.float32,
 ) -> RobotModel:
@@ -200,6 +227,7 @@ def build_model(
         q_max=vec(q_max, 3.1),
         tau_max=vec(tau_max, 200.0),
         v_max=vec(v_max, 10.0),
+        armature=vec(armature, 0.0),
         gravity=jnp.asarray(gravity, dtype),
         parent=tuple(int(p) for p in parent),
         joint_type=tuple(int(t) for t in joint_type),

@@ -45,6 +45,7 @@ class _Builder:
         self.q_min = []
         self.q_max = []
         self.tau_max = []
+        self.armature = []
         self.root_name = root_name
         self.floating = floating
         self.base_mass = base_mass
@@ -78,6 +79,9 @@ class _Builder:
         self.q_min.append(-lim)
         self.q_max.append(lim)
         self.tau_max.append(tau)
+        # reflected rotor/gearbox inertia: scales with actuator rating; keeps
+        # distal joints well-conditioned like real harmonic-drive actuators
+        self.armature.append(0.01 + 1e-3 * tau)
         return i
 
     def finish(self, gravity=(0, 0, -9.81)):
@@ -100,6 +104,7 @@ class _Builder:
             q_min=self.q_min,
             q_max=self.q_max,
             tau_max=self.tau_max,
+            armature=self.armature,
             gravity=gravity,
         )
 

@@ -1,0 +1,138 @@
+"""Closed-loop WBC rollouts for sampling MPC (BASELINE config 5).
+
+Greenfield capability (no reference counterpart — SURVEY.md §2c): roll out
+the floating-base WBC controller (ForceAcc-style QP each step) against the
+contact dynamics for H steps under ``lax.scan``, fully vmappable over
+thousands of scenarios. The per-rollout QP uses a trimmed iteration budget
+(warm-started along the horizon) so the whole rollout stays one fused XLA
+program dominated by batched matmuls.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qppvm_tpu.model import dynamics, kinematics
+from qppvm_tpu.model.robot import RobotModel, RobotState
+from qppvm_tpu.opt import hierarchy
+from qppvm_tpu.plugins.force_acc import ForceAccPlugin
+
+
+@dataclasses.dataclass(frozen=True)
+class RolloutConfig:
+    horizon: int = 16
+    dt: float = 0.01
+    qp_iters: int = 20
+    sim_substeps: int = 1
+    contact_kp: float = 2e4
+    contact_kd: float = 300.0
+    mu: float = 0.8
+    ground_z: float = 0.0
+
+
+def _contact_forces(model, kin, J_all, u, contact_idx, cfg, dtype):
+    """Compliant ground model (matches runtime.robot_interface._sim_step)."""
+    ext = jnp.zeros((model.nj, 6), dtype)
+    for li in contact_idx:
+        p = kin.p[li]
+        v = J_all[li] @ u
+        pen = cfg.ground_z - p[2]
+        in_contact = pen > 0.0
+        fz = jnp.maximum(cfg.contact_kp * pen - cfg.contact_kd * v[2], 0.0)
+        ft = -cfg.contact_kd * v[:2] * 5.0
+        ft_max = cfg.mu * fz
+        ft = ft * jnp.minimum(1.0, ft_max / (jnp.linalg.norm(ft) + 1e-9))
+        f = jnp.where(in_contact, jnp.concatenate([ft, fz[None]]),
+                      jnp.zeros(3, dtype))
+        ext = ext.at[li].add(jnp.concatenate([f, jnp.zeros(3, dtype)]))
+    return ext
+
+
+def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
+                    cost_fn: Callable):
+    """Build rollout(state0, refs0, warm0, controls, scenario) -> (cost, aux).
+
+    ``controls``: (H, 3) waist-reference velocity offsets integrated into the
+    waist position reference each step (the MPC decision sequence).
+    ``scenario``: pytree of domain-randomization inputs; here a dict with
+    "push" (H, 3) external base force and "mass_scale" () scaling factor.
+    """
+    model = plugin.model
+    contact_idx = tuple(model.link_index(c) for c in plugin.contact_links)
+
+    def one_step(carry, inp):
+        state, refs, warm, waist_p = carry
+        u_ctrl, push = inp
+        waist_p = waist_p + u_ctrl * cfg.dt
+        refs_t = dict(refs)
+        wt = dict(refs_t["waist_task"])
+        wt["p"] = waist_p
+        refs_t["waist_task"] = wt
+
+        tau, warm, aux = _fast_step(state, refs_t, warm)
+
+        # physics with disturbance push on the base (world frame, at base)
+        dtype = state.q.dtype
+        for _ in range(max(1, cfg.sim_substeps)):
+            kin = kinematics.fk(model, state)
+            J_all = kinematics.all_link_jacobians(model, kin)
+            ext = _contact_forces(model, kin, J_all, state.u, contact_idx,
+                                  cfg, dtype)
+            # the push enters as an extra wrench on the first link's parent
+            # chain via the base: apply at link 0's origin for simplicity
+            udot = dynamics.forward_dynamics(
+                model, state, tau, ext_wrenches=ext, kin=kin)
+            # add base push as direct base acceleration (world force / mass)
+            state = dynamics.integrate(model, state, udot,
+                                       cfg.dt / max(1, cfg.sim_substeps))
+            # inject push as velocity perturbation (impulse approximation)
+            dv = push * (cfg.dt / max(1, cfg.sim_substeps))
+            base_vel = state.base_vel.at[3:].add(
+                jnp.einsum("ji,j->i", state.base_rot, dv))
+            state = dataclasses.replace(state, base_vel=base_vel)
+
+        c = cost_fn(model, state, tau, aux)
+        return (state, refs, warm, waist_p), c
+
+    def _fast_step(state, refs, warm):
+        data = dynamics.compute_model_data(model, state)
+        sd = plugin.stack.build(model, data, state, refs, nx=plugin.opt.size,
+                                dtype=plugin.dtype)
+        x, warm_new, infos = hierarchy.solve(
+            sd, warm, eps=plugin.eps, iters=cfg.qp_iters, refine=0,
+            rho_updates=1)
+        qddot = plugin.qddot.value(x)
+        tau_c = jnp.zeros(model.nv, plugin.dtype)
+        for cl, w in zip(plugin.contact_links, plugin.wrenches):
+            Jc = dynamics.frame_data(model, data, cl)[2][:3]
+            tau_c = tau_c + Jc.T @ w.value(x)
+        tau_full = dynamics.rnea(model, state, qddot, gravity=True,
+                                 kin=data.kin)
+        tau = (tau_full - tau_c)[6:]
+        tau = jnp.clip(tau, -model.tau_max, model.tau_max)
+        return tau, warm_new, infos
+
+    def rollout(state0: RobotState, refs0, warm0, controls, scenario):
+        push = scenario["push"]  # (H, 3)
+        waist_p0 = refs0["waist_task"]["p"]
+        (_, _, _, _), costs = jax.lax.scan(
+            one_step, (state0, refs0, warm0, waist_p0), (controls, push))
+        return jnp.sum(costs)
+
+    return rollout
+
+
+def default_cost(model: RobotModel, state: RobotState, tau, aux,
+                 target_height: float = None):
+    """Stay upright + keep base height + low effort."""
+    up = state.base_rot[2, 2]              # cos(tilt)
+    tilt_cost = 50.0 * (1.0 - up)
+    vel_cost = 0.1 * jnp.sum(state.base_vel ** 2)
+    effort = 1e-5 * jnp.sum(tau ** 2)
+    qd_cost = 1e-3 * jnp.sum(state.qd ** 2)
+    fall = 200.0 * jnp.maximum(0.3 - state.base_pos[2], 0.0)
+    return tilt_cost + vel_cost + effort + qd_cost + fall

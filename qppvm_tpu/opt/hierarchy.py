@@ -60,17 +60,22 @@ def solve(
     warm: Optional[Tuple[qp.QPState, ...]] = None,
     *,
     eps: float = 1.0,
-    eps_abs_scale: float = 1e-6,
+    eps_abs_scale: float = 1e-8,
     iters: int = 80,
     refine: int = 2,
     rho: float = 0.1,
+    rho_updates: int = 3,
 ):
     """Solve the cascade. Returns (x, warm_states, infos).
 
     ``eps`` is the OpenSoT-style regularization knob (1.0 in QPPVM at
     /root/reference/src/QPPVMPlugin.cpp:188, 1e4 in ForceAcc at
     /root/reference/src/ForceAcc.cpp:137); the effective Tikhonov weight is
-    ``eps * eps_abs_scale * mean(diag(A^T A))`` so it scales with the task.
+    ``eps * eps_abs_scale * (mean(diag(A^T A)) + 1)``. ``eps_abs_scale`` is
+    deliberately tiny: like qpOASES' epsRegularisation, eps must resolve
+    redundancy (e.g. the contact-force null space) and condition the KKT
+    system WITHOUT fighting the tasks — a too-large weight makes the solver
+    prefer small contact forces over supporting the robot's weight.
     """
     n = stack.lb.shape[0]
     dtype = stack.lb.dtype
@@ -98,7 +103,7 @@ def solve(
         prob = qp.QPProblem(P=P, q=qv, A=A_full, l=l_full, u=u_full)
         st = warm[k] if warm is not None else None
         x, st_new, info = qp.solve(prob, st, iters=iters, refine=refine,
-                                   rho=rho)
+                                   rho=rho, rho_updates=rho_updates)
         new_states.append(st_new)
         infos.append(info)
 
@@ -109,9 +114,9 @@ def solve(
     return x_prev, tuple(new_states), tuple(infos)
 
 
-def solve_failed(infos, tol: float = 1e-2) -> jax.Array:
-    """Scalar bool: any level left a large primal residual (infeasible /
-    unconverged) — drives the zero-torque fallback that mirrors
+def solve_failed(infos, tol: float = 1e-3) -> jax.Array:
+    """Scalar bool: any level left a large *relative* primal residual
+    (infeasible / unconverged) — drives the zero-torque fallback that mirrors
     /root/reference/src/QPPVMPlugin.cpp:246-249."""
     bad = jnp.zeros((), dtype=bool)
     for info in infos:

@@ -10,12 +10,17 @@ vmaps across thousands of rollout QPs and feeds the MXU.
     minimize   1/2 x^T P x + q^T x
     subject to l <= A x <= u        (equalities: l == u rows)
 
-Warm starting (the entire point of qpOASES hot-start in the 1 kHz loop) is an
-explicit carried ``QPState`` pytree — serializable, checkpointable.
+Robustness pieces (all shape-static, jit/vmap-friendly):
+- Ruiz equilibration of [P, A] (OSQP-style) — first-order methods are
+  scaling-sensitive and WBC stacks mix Nm, N and rad units.
+- Adaptive rho: iterations run in chunks; rho rebalanced by residual ratio,
+  KKT inverse rebuilt per chunk.
+- Active-set polish with iterative refinement for direct-solver accuracy.
+- Warm start carried as an explicit ``QPState`` pytree (the analog of
+  qpOASES hot-start in the 1 kHz loop) — serializable, checkpointable.
 
-Accuracy backstop: ``refine=k`` applies k steps of iterative refinement on the
-final active set (solving the KKT equalities exactly), recovering near-direct
-precision when the active set has settled (typical in warm-started RT loops).
+Residuals reported in ``QPInfo`` are *relative* (OSQP convention), so
+failure thresholds are unit-free.
 """
 from __future__ import annotations
 
@@ -55,11 +60,11 @@ class QPState:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class QPInfo:
-    """Solver status for the batch — the analog of the reference's
-    solve-failure signalling (/root/reference/src/QPPVMPlugin.cpp:246-249)."""
+    """Solver status — the analog of the reference's solve-failure signalling
+    (/root/reference/src/QPPVMPlugin.cpp:246-249). Residuals are relative."""
 
-    prim_res: jax.Array  # () inf-norm of Ax - z
-    dual_res: jax.Array  # () inf-norm of Px + q + A^T y
+    prim_res: jax.Array  # () relative inf-norm of Ax - z
+    dual_res: jax.Array  # () relative inf-norm of Px + q + A^T y
     obj: jax.Array       # () objective value
 
 
@@ -69,6 +74,40 @@ def _rho_vec(l, u, rho):
     loose = (u - l) > 1e16
     base = jnp.where(eq, rho * 1e3, rho)
     return jnp.where(loose, rho * 1e-6, base)
+
+
+def _ruiz(P, A, iters: int = 5):
+    """Ruiz equilibration of the KKT block [[P, A^T], [A, 0]].
+    Returns diagonal scalings d (n,), e (m,)."""
+    n = P.shape[0]
+    m = A.shape[0]
+    dtype = P.dtype
+    d = jnp.ones(n, dtype)
+    e = jnp.ones(m, dtype)
+    Ps, As = P, A
+    for _ in range(iters):
+        cn = jnp.maximum(jnp.max(jnp.abs(Ps), axis=0),
+                         jnp.max(jnp.abs(As), axis=0) if m > 0 else 0.0)
+        rn = jnp.max(jnp.abs(As), axis=1) if m > 0 else jnp.zeros(0, dtype)
+        sd = 1.0 / jnp.sqrt(jnp.clip(cn, 1e-8, 1e8))
+        se = 1.0 / jnp.sqrt(jnp.clip(rn, 1e-8, 1e8))
+        d = d * sd
+        e = e * se
+        Ps = sd[:, None] * Ps * sd[None, :]
+        As = se[:, None] * As * sd[None, :]
+    return d, e
+
+
+def _rel_residuals(P, q, A, x, z, y):
+    Ax = A @ x
+    Px = P @ x
+    Aty = A.T @ y
+    prim = jnp.max(jnp.abs(Ax - z)) / (
+        jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z))) + 1.0)
+    dual = jnp.max(jnp.abs(Px + q + Aty)) / (
+        jnp.maximum(jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))),
+                    jnp.max(jnp.abs(q))) + 1.0)
+    return prim, dual
 
 
 def solve(
@@ -81,26 +120,34 @@ def solve(
     alpha: float = 1.6,
     refine: int = 2,
     rho_updates: int = 3,
+    scale_iters: int = 5,
 ):
-    """One dense QP solve. Returns (x, new_state, info). vmap for batches.
-
-    ``rho_updates`` OSQP-style adaptive-rho rounds: iterations run in chunks;
-    after each chunk rho is rescaled by sqrt(prim_res/dual_res) and the KKT
-    inverse is rebuilt (a handful of extra small inverses — static shapes, so
-    the whole thing remains one XLA program).
-    """
-    P, q, A, l, u = problem.P, problem.q, problem.A, problem.l, problem.u
-    n = P.shape[0]
-    m = A.shape[0]
-    dtype = P.dtype
+    """One dense QP solve. Returns (x, new_state, info). vmap for batches."""
+    P0, q0, A0, l0, u0 = (problem.P, problem.q, problem.A, problem.l,
+                          problem.u)
+    n = P0.shape[0]
+    m = A0.shape[0]
+    dtype = P0.dtype
     if state is None:
         state = QPState.zero(n, m, dtype)
+
+    # --- Ruiz scaling ----------------------------------------------------
+    d, e = _ruiz(P0, A0, iters=scale_iters)
+    P = d[:, None] * P0 * d[None, :]
+    q = d * q0
+    A = e[:, None] * A0 * d[None, :]
+    l = e * l0
+    u = e * u0
+
+    # scale warm start into the scaled space
+    x = state.x / d
+    z = e * state.z
+    y = state.y / jnp.maximum(e, 1e-30)
 
     rho_base = _rho_vec(l, u, jnp.asarray(rho, dtype))
     n_chunks = max(1, rho_updates + 1)
     chunk = max(1, iters // n_chunks)
 
-    x, z, y = state.x, state.z, state.y
     rho_scale = jnp.asarray(1.0, dtype)
     for _ in range(n_chunks):
         rho_v = rho_base * rho_scale
@@ -122,27 +169,22 @@ def solve(
 
         (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=chunk)
 
-        # OSQP residual-balancing rho update (relative residuals).
-        Ax = A @ x
-        Px = P @ x
-        Aty = A.T @ y
-        prim = jnp.max(jnp.abs(Ax - z)) / (
-            jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z))) + 1e-10)
-        dual = jnp.max(jnp.abs(Px + q + Aty)) / (
-            jnp.maximum(jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))),
-                        jnp.max(jnp.abs(q))) + 1e-10)
-        factor = jnp.sqrt(prim / jnp.maximum(dual, 1e-12))
-        factor = jnp.clip(factor, 0.1, 10.0)
+        prim, dual = _rel_residuals(P, q, A, x, z, y)
+        factor = jnp.clip(jnp.sqrt(prim / jnp.maximum(dual, 1e-12)), 0.1, 10.0)
         rho_scale = jnp.clip(rho_scale * factor, 1e-4, 1e4)
+
+    # --- unscale ---------------------------------------------------------
+    x = d * x
+    z = z / jnp.maximum(e, 1e-30)
+    y = e * y
 
     if refine > 0:
         for _ in range(2):
-            x, y = _polish(P, q, A, l, u, x, y, steps=refine)
-        z = jnp.clip(A @ x, l, u)
+            x, y = _polish(P0, q0, A0, l0, u0, x, y, steps=refine)
+        z = jnp.clip(A0 @ x, l0, u0)
 
-    prim = jnp.max(jnp.abs(A @ x - z))
-    dual = jnp.max(jnp.abs(P @ x + q + A.T @ y))
-    obj = 0.5 * x @ P @ x + q @ x
+    prim, dual = _rel_residuals(P0, q0, A0, x, z, y)
+    obj = 0.5 * x @ P0 @ x + q0 @ x
     return x, QPState(x=x, z=z, y=y), QPInfo(prim_res=prim, dual_res=dual,
                                              obj=obj)
 
@@ -156,9 +198,8 @@ def _spd_inverse(K):
 
 def _polish(P, q, A, l, u, x, y, steps: int, eps_active: float = 1e-4):
     """Active-set polish (OSQP-style): treat near-active rows as equalities
-    and solve the equality-constrained KKT system by regularized normal
-    equations + iterative refinement. Shape-static: inactive rows are zeroed
-    rather than removed."""
+    and solve the equality-constrained KKT system by LU + iterative
+    refinement. Shape-static: inactive rows are zeroed rather than removed."""
     n = P.shape[0]
     dtype = P.dtype
     Ax = A @ x
@@ -180,8 +221,8 @@ def _polish(P, q, A, l, u, x, y, steps: int, eps_active: float = 1e-4):
 
     def ref_body(sol, _):
         r = rhs - K @ sol
-        d = jax.scipy.linalg.lu_solve((lu, piv), r)
-        return sol + d, None
+        dlt = jax.scipy.linalg.lu_solve((lu, piv), r)
+        return sol + dlt, None
 
     sol, _ = jax.lax.scan(ref_body, sol, None, length=steps)
     x_p = sol[:n]
@@ -190,7 +231,9 @@ def _polish(P, q, A, l, u, x, y, steps: int, eps_active: float = 1e-4):
     # Accept polish only if it does not violate inactive constraints and
     # improves the dual residual (guards against a wrong active-set guess).
     Axp = A @ x_p
-    feas = jnp.all(Axp >= l - 1e-6) & jnp.all(Axp <= u + 1e-6)
+    scale_l = 1e-6 * (1.0 + jnp.abs(l))
+    scale_u = 1e-6 * (1.0 + jnp.abs(u))
+    feas = jnp.all(Axp >= l - scale_l) & jnp.all(Axp <= u + scale_u)
     dual_old = jnp.max(jnp.abs(P @ x + q + A.T @ y))
     dual_new = jnp.max(jnp.abs(P @ x_p + q + A.T @ y_p))
     ok = feas & (dual_new <= dual_old + 1e-12) & jnp.all(jnp.isfinite(x_p))

@@ -1,0 +1,177 @@
+"""ForceAcc: floating-base whole-body control with contact force variables.
+
+Full capability parity with the reference plugin
+(/root/reference/src/ForceAcc.cpp):
+
+- decision variable x = [qddot(nv); f_c(3) per contact]  (:63-70)
+- per contact: acceleration Cartesian task + wrench box bounds with
+  unilateral f_z >= 10 N  (:74-96)
+- stack: (waist Cartesian) / (postural + feet Cartesian) << dynamic
+  feasibility << wrench bounds  (:131-133), solver eps = 1e4 (:135-137)
+- per tick: solve, extract qddot & wrenches, tau = ID(qddot) - sum J_c^T f_c,
+  error-return (skip actuation) on failure  (:189-218)
+- on_start: resetReference on all Cartesian tasks, capture initial waist
+  position; squat reference com - 0.1 z  (:143-165,181)
+
+Optionally replaces the reference's plain wrench box with friction cones
+(north-star capability).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qppvm_tpu.model import dynamics
+from qppvm_tpu.model.robot import RobotModel, RobotState
+from qppvm_tpu.opt import hierarchy
+from qppvm_tpu.opt.variables import Optvar
+from qppvm_tpu.stack.autostack import AutoStack
+from qppvm_tpu.tasks.acceleration import Cartesian, Postural
+from qppvm_tpu.tasks.base import AssembleCtx, Indices, SubTask
+from qppvm_tpu.tasks.force import CoM
+from qppvm_tpu.tasks.generic import (DynamicFeasibility, FrictionCone,
+                                     GenericConstraint)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ForceAccAux:
+    """Per-tick observables (logged channels, reference :200,233-236)."""
+
+    tau: jax.Array           # commanded torque (nj,)
+    tau_c: jax.Array         # contact-torque contribution
+    qddot: jax.Array         # (nv,)
+    wrenches: jax.Array      # (n_contacts, 3)
+    dyn_feas_residual: jax.Array  # (6,)
+    solver_failed: jax.Array
+    prim_res: jax.Array
+
+
+class ForceAccPlugin:
+    def __init__(self, model: RobotModel, *,
+                 contact_links: Sequence[str] = ("foot_fl", "foot_fr",
+                                                 "foot_hr", "foot_hl"),
+                 waist_link: str = "pelvis",
+                 eps: float = 1e4, iters: int = 60,
+                 fz_min: float = 10.0,
+                 use_friction_cones: bool = False, mu: float = 0.7,
+                 waist_kp: float = 100.0, postural_kp: float = 25.0,
+                 dtype=jnp.float32):
+        if not model.floating:
+            raise ValueError("ForceAcc needs a floating-base model")
+        self.model = model
+        self.dtype = dtype
+        self.eps = eps
+        self.iters = iters
+        self.contact_links = tuple(contact_links)
+        self.waist_link = waist_link
+
+        nv = model.nv
+        variables = [("qddot", nv)] + [(cl, 3) for cl in contact_links]
+        self.opt = Optvar(variables, dtype=dtype)
+        self.qddot = self.opt["qddot"]
+        self.wrenches = [self.opt[cl] for cl in contact_links]
+
+        self.feet_tasks = [
+            Cartesian(cl + "_cartesian", cl, self.qddot, kp=postural_kp)
+            for cl in contact_links
+        ]
+        self.waist_task = Cartesian("waist_task", waist_link, self.qddot,
+                                    kp=waist_kp)
+        self.postural = Postural("POSTURAL", self.qddot, kp=postural_kp)
+        self.com_task = CoM("COM", self.wrenches, contact_links)  # built,
+        # kept out of the stack — mirrors /root/reference/src/ForceAcc.cpp:103
+        self.dyn_feas = DynamicFeasibility("DYN_FEAS", self.qddot,
+                                           self.wrenches, contact_links)
+
+        if use_friction_cones:
+            wrench_constraints = [
+                FrictionCone(cl + "_cone", w, mu=mu, f_min=fz_min)
+                for cl, w in zip(contact_links, self.wrenches)
+            ]
+        else:
+            # ub=[1000,1000,1000], lb=[-1000,-1000,fz_min] — the 3-force
+            # version of the reference bounds (/root/reference/src/ForceAcc.cpp:74-76)
+            ub = jnp.asarray([1000.0, 1000.0, 1000.0])
+            lb = jnp.asarray([-1000.0, -1000.0, fz_min])
+            wrench_constraints = [
+                GenericConstraint(cl + "_bound", w, ub, lb)
+                for cl, w in zip(contact_links, self.wrenches)
+            ]
+
+        feet_aggr = self.feet_tasks[0]
+        for t in self.feet_tasks[1:]:
+            feet_aggr = feet_aggr + t
+        stack = (self.waist_task / (self.postural + feet_aggr)) << self.dyn_feas
+        for c in wrench_constraints:
+            stack = stack << c
+        self.stack = stack
+
+        self._step = jax.jit(self._step_impl)
+
+    # --- lifecycle ------------------------------------------------------
+    def on_start(self, state: RobotState):
+        """resetReference on all Cartesian tasks + initial waist capture
+        (/root/reference/src/ForceAcc.cpp:143-165)."""
+        data = dynamics.compute_model_data(self.model, state)
+        refs = self.stack.ref_init(self.model, data, state)
+        refs["COM"] = self.com_task.ref_init(self.model, data, state)
+        stack_data = self.stack.build(self.model, data, state, refs,
+                                      nx=self.opt.size, dtype=self.dtype)
+        warm = hierarchy.warm_start_init(stack_data)
+        initial_waist = refs["waist_task"]["p"]
+        return refs, warm, initial_waist
+
+    def squat_refs(self, refs, initial_waist, depth: float = 0.1):
+        """waist ref = initial - depth * z (/root/reference/src/ForceAcc.cpp:181)."""
+        refs = dict(refs)
+        wt = dict(refs["waist_task"])
+        wt["p"] = initial_waist - jnp.asarray([0.0, 0.0, depth],
+                                              initial_waist.dtype)
+        refs["waist_task"] = wt
+        return refs
+
+    def control_loop(self, state: RobotState, refs: Dict[str, Any], warm):
+        return self._step(state, refs, warm)
+
+    # --- the jitted tick ------------------------------------------------
+    def _step_impl(self, state: RobotState, refs, warm):
+        model = self.model
+        state = state.astype(self.dtype)
+        refs = jax.tree.map(lambda a: jnp.asarray(a, self.dtype), refs)
+        data = dynamics.compute_model_data(model, state)
+        stack_data = self.stack.build(model, data, state, refs,
+                                      nx=self.opt.size, dtype=self.dtype)
+        x, warm_new, infos = hierarchy.solve(
+            stack_data, warm, eps=self.eps, iters=self.iters, refine=2)
+        failed = hierarchy.solve_failed(infos)
+
+        qddot = self.qddot.value(x)
+        wr = jnp.stack([w.value(x) for w in self.wrenches])  # (nc, 3)
+
+        # tau_c = sum_c J_c^T f_c (actuated rows), reference :206-210
+        tau_c_full = jnp.zeros(model.nv, self.dtype)
+        for cl, w in zip(self.contact_links, self.wrenches):
+            Jc = dynamics.frame_data(model, data, cl)[2][:3]  # (3, nv)
+            tau_c_full = tau_c_full + Jc.T @ w.value(x)
+
+        # tau = ID(qddot) - tau_c, actuated rows (reference :213-218)
+        tau_full = dynamics.rnea(model, state, qddot, gravity=True,
+                                 kin=data.kin)
+        tau = (tau_full - tau_c_full)[6:]
+        # error-return semantics: on failure skip actuation (tau = 0 delta ->
+        # we surface `failed`; the harness holds the previous command,
+        # /root/reference/src/ForceAcc.cpp:189-193)
+        tau = jnp.where(failed, jnp.zeros_like(tau), tau)
+
+        ctx = AssembleCtx(model=model, data=data, state=state, refs=refs,
+                          nx=self.opt.size, dtype=self.dtype)
+        feas = self.dyn_feas.check_constraint(ctx, x)
+        aux = ForceAccAux(
+            tau=tau, tau_c=tau_c_full[6:], qddot=qddot, wrenches=wr,
+            dyn_feas_residual=feas, solver_failed=failed,
+            prim_res=jnp.max(jnp.stack([i.prim_res for i in infos])))
+        return tau, warm_new, aux

@@ -1,0 +1,139 @@
+"""QPPVM: QP priority-based virtual-model control (torque-level).
+
+Full capability parity with the reference plugin
+(/root/reference/src/QPPVMPlugin.cpp):
+
+- stack: (right EE + left EE Cartesian impedance, position rows 0..2,
+  Kc=700 I, Dc=70 I, inertia-weighted) / (joint impedance K=5 I, D=2 I,
+  inertia-weighted) << torque limits   (:105-106,129-152,177-179)
+- per tick: tau bounds = tau_const -/+ h (:203-205), stack update (:226),
+  hierarchical solve with eps=1.0 (:188,246), zero-torque-fallback on solver
+  failure (:246-249), then tau_d += h (gravity/Coriolis compensation, :256)
+- on_start: capture current EE poses / joint config as references
+  (bumpless start, :261-305)
+- optional moving sinusoid reference on the left EE (:217-223)
+
+The whole tick — model update, task assembly, 2-level cascade, torque
+reconstruction — is ONE jitted function; warm starts ride along as a pytree.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from qppvm_tpu.model import dynamics
+from qppvm_tpu.model.robot import RobotModel, RobotState
+from qppvm_tpu.stack.autostack import AutoStack
+from qppvm_tpu.tasks.base import Indices
+from qppvm_tpu.tasks.torque import (CartesianImpedanceCtrl, JointImpedanceCtrl,
+                                    TorqueLimits)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QPPVMAux:
+    """Per-tick observables (the MatLogger channel set, reference :254-258)."""
+
+    tau_qp: jax.Array       # torque from the QP, before +h
+    tau_desired: jax.Array  # commanded torque (tau_qp + h)
+    h: jax.Array            # nonlinear term
+    solver_failed: jax.Array  # bool
+    prim_res: jax.Array
+    ee_left_err: jax.Array   # 6D pose error of the left EE task
+    ee_right_err: jax.Array
+
+
+class QPPVMPlugin:
+    """Lifecycle-compatible plugin object (init/on_start/control_loop shape
+    mirrors /root/reference/include/QPPVM_RT_plugin/QPPVMPlugin.h:43-46)."""
+
+    def __init__(self, model: RobotModel, *,
+                 left_ee: str = "arm1_7", right_ee: str = "arm2_7",
+                 cart_stiffness: float = 700.0, cart_damping: float = 70.0,
+                 joint_stiffness: float = 5.0, joint_damping: float = 2.0,
+                 eps: float = 1.0, iters: int = 60, dtype=jnp.float32,
+                 sine_ref: bool = False):
+        if model.floating:
+            raise ValueError("QPPVM is a fixed-base controller")
+        self.model = model
+        self.dtype = dtype
+        self.eps = eps
+        self.iters = iters
+        self.sine_ref = sine_ref
+
+        nj = model.nj
+        Kc = jnp.eye(6, dtype=dtype) * cart_stiffness
+        Dc = jnp.eye(6, dtype=dtype) * cart_damping
+        self.ee_left = CartesianImpedanceCtrl(
+            "LEFT_ARM", left_ee, indices=Indices.range(0, 2),
+            stiffness=Kc, damping=Dc, use_inertia_matrix=True)
+        self.ee_right = CartesianImpedanceCtrl(
+            "RIGHT_ARM", right_ee, indices=Indices.range(0, 2),
+            stiffness=Kc, damping=Dc, use_inertia_matrix=True)
+        self.joint_task = JointImpedanceCtrl(
+            stiffness=jnp.full((nj,), joint_stiffness, dtype),
+            damping=jnp.full((nj,), joint_damping, dtype),
+            use_inertia_matrix=True)
+        self.torque_limits = TorqueLimits()
+        self.stack = ((self.ee_right + self.ee_left)
+                      / self.joint_task) << self.torque_limits
+
+        self._step = jax.jit(self._step_impl)
+
+    # --- lifecycle ------------------------------------------------------
+    def on_start(self, state: RobotState):
+        """Capture references at the current configuration and return
+        (refs, warm, start_pose) — bumpless start (reference :261-305)."""
+        data = dynamics.compute_model_data(self.model, state)
+        refs = self.stack.ref_init(self.model, data, state)
+        stack_data = self.stack.build(self.model, data, state, refs,
+                                      nx=self.model.nj, dtype=self.dtype)
+        from qppvm_tpu.opt import hierarchy as _h
+        warm = _h.warm_start_init(stack_data)
+        start_pose = dict(refs["LEFT_ARM"])
+        return refs, warm, start_pose
+
+    def make_refs(self, start_pose, t, t0=0.0):
+        """Moving sinusoid on the left EE (reference :217-223):
+        y += 0.15 sin(t - t0), z += 0.15 (1 - cos(t - t0))."""
+        p = start_pose["p"]
+        dy = 0.15 * jnp.sin(t - t0)
+        dz = 0.15 * (1.0 - jnp.cos(t - t0))
+        return {"R": start_pose["R"],
+                "p": p + jnp.stack([jnp.zeros_like(dy), dy, dz]),
+                "v": jnp.zeros(6, p.dtype)}
+
+    def control_loop(self, state: RobotState, refs: Dict[str, Any], warm):
+        """One tick: returns (tau_desired, new_warm, aux)."""
+        return self._step(state, refs, warm)
+
+    # --- the jitted tick ------------------------------------------------
+    def _step_impl(self, state: RobotState, refs, warm):
+        model = self.model
+        state = state.astype(self.dtype)
+        refs = jax.tree.map(lambda a: jnp.asarray(a, self.dtype), refs)
+        data = dynamics.compute_model_data(model, state)
+        stack_data = self.stack.build(model, data, state, refs,
+                                      nx=model.nj, dtype=self.dtype)
+        from qppvm_tpu.opt import hierarchy
+        x, warm_new, infos = hierarchy.solve(
+            stack_data, warm, eps=self.eps, iters=self.iters, refine=2)
+        failed = hierarchy.solve_failed(infos)
+        tau_qp = jnp.where(failed, jnp.zeros_like(x), x)
+        h = data.h
+        tau_d = tau_qp + h  # reference :256 (runs also on failure -> tau = h)
+
+        from qppvm_tpu.tasks.base import AssembleCtx
+        ctx = AssembleCtx(model=model, data=data, state=state, refs=refs,
+                          nx=model.nj, dtype=self.dtype)
+        ls, ld = self.ee_left.spring_damper_force(ctx)
+        rs, rd = self.ee_right.spring_damper_force(ctx)
+        aux = QPPVMAux(
+            tau_qp=tau_qp, tau_desired=tau_d, h=h, solver_failed=failed,
+            prim_res=jnp.max(jnp.stack([i.prim_res for i in infos])),
+            ee_left_err=ls + ld, ee_right_err=rs + rd)
+        return tau_d, warm_new, aux

@@ -1,0 +1,126 @@
+"""Plugin lifecycle + control-loop executor (L1 runtime of SURVEY.md §1).
+
+Re-designs the XCM plugin runtime slice the reference relies on: virtual
+hooks ``init_control_plugin / on_start / control_loop / close``
+(/root/reference/include/QPPVM_RT_plugin/QPPVMPlugin.h:43-46,
+/root/reference/include/ForceAccPlugin/ForceAcc.h:41-53), plugin
+registration (REGISTER_XBOT_PLUGIN, QPPVMPlugin.cpp:29), and the periodic RT
+executor. The Python executor drives jitted control steps against any robot
+backend (sim or hardware bridge); the C++ RT executor in ``native/`` provides
+hard pacing + latency accounting for deployment.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+from qppvm_tpu.runtime.logger import TraceBuffer, get_logger
+
+_PLUGIN_REGISTRY: Dict[str, type] = {}
+
+
+def register_plugin(name: str):
+    """REGISTER_XBOT_PLUGIN analog (/root/reference/src/QPPVMPlugin.cpp:29)."""
+    def deco(cls):
+        _PLUGIN_REGISTRY[name] = cls
+        return cls
+    return deco
+
+
+def get_plugin(name: str) -> type:
+    return _PLUGIN_REGISTRY[name]
+
+
+def registered_plugins():
+    return dict(_PLUGIN_REGISTRY)
+
+
+@dataclasses.dataclass
+class Handle:
+    """What init_control_plugin receives (robot, config path, shared memory —
+    /root/reference/src/ForceAcc.cpp:33,43,52)."""
+
+    robot: Any
+    config_path: Optional[str] = None
+    shared_memory: Any = None
+
+
+@dataclasses.dataclass
+class LoopStats:
+    """Step-latency accounting vs the 1 ms RT budget (the TPU analog of the
+    Xenomai deadline, SURVEY.md §2b C22)."""
+
+    latencies_s: np.ndarray
+
+    @property
+    def p50_ms(self) -> float:
+        return float(np.percentile(self.latencies_s, 50) * 1e3)
+
+    @property
+    def p99_ms(self) -> float:
+        return float(np.percentile(self.latencies_s, 99) * 1e3)
+
+    @property
+    def mean_ms(self) -> float:
+        return float(np.mean(self.latencies_s) * 1e3)
+
+    def deadline_misses(self, budget_s: float = 1e-3) -> int:
+        return int(np.sum(self.latencies_s > budget_s))
+
+
+class ControlLoop:
+    """Periodic executor: sense -> control -> actuate, with trace logging and
+    latency stats. ``realtime=False`` free-runs (sim-speed); True paces to
+    the period like the RT thread."""
+
+    def __init__(self, plugin, robot, *, period: float = 1e-3,
+                 trace: Optional[TraceBuffer] = None, realtime: bool = False,
+                 ref_generator: Optional[Callable[[float, Dict], Dict]] = None):
+        self.plugin = plugin
+        self.robot = robot
+        self.period = period
+        self.trace = trace
+        self.realtime = realtime
+        self.ref_generator = ref_generator
+        self.log = get_logger("control_loop")
+
+    def run(self, seconds: float) -> LoopStats:
+        robot = self.robot
+        plugin = self.plugin
+        state = robot.state
+        refs, warm, start_ctx = plugin.on_start(state)
+        n = int(round(seconds / self.period))
+        lat = np.zeros(n)
+        prev_tau = None
+        for i in range(n):
+            t = i * self.period
+            t0 = time.perf_counter()
+            state = robot.state
+            refs_t = (self.ref_generator(t, {"refs": refs, "start": start_ctx})
+                      if self.ref_generator else refs)
+            tau, warm, aux = plugin.control_loop(state, refs_t, warm)
+            tau.block_until_ready()
+            lat[i] = time.perf_counter() - t0
+
+            failed = bool(aux.solver_failed)
+            if failed:
+                self.log.error("SOLVER ERROR at t=%.3f", t)  # reference :248
+            robot.set_reference(tau_ref=tau, q_ref=state.q)
+            robot.move()
+            prev_tau = tau
+
+            if self.trace is not None:
+                self.trace.add("time_matlogger", t)  # reference :322
+                self.trace.add("tau_desired", np.asarray(tau))
+                self.trace.add("q", np.asarray(state.q))
+                self.trace.add("qd", np.asarray(state.qd))
+                self.trace.add("solver_failed", float(failed))
+
+            if self.realtime:
+                sleep = self.period - (time.perf_counter() - t0)
+                if sleep > 0:
+                    time.sleep(sleep)
+        return LoopStats(latencies_s=lat)

@@ -1,0 +1,174 @@
+"""Robot hardware-abstraction layer + simulated backend.
+
+Re-designs the XBot::RobotInterface slice the reference uses
+(/root/reference/src/QPPVMPlugin.cpp:318-328,344-353;
+/root/reference/src/ForceAcc.cpp:238-248): motor-side sense, drive-level PD
+(setStiffness/setDamping), reference sync (position/effort), move(). The
+simulated backend integrates the full floating/fixed-base dynamics with
+ground contact, and exposes IMU (C19) and floating-base channels (C18) like
+the Gazebo shared-memory objects (/root/reference/src/ForceAcc.cpp:52-55).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from qppvm_tpu.model import dynamics, kinematics
+from qppvm_tpu.model.robot import RobotModel, RobotState
+
+
+class SharedObject:
+    """Typed in-process channel (XBot::SharedObject analog,
+    /root/reference/src/ForceAcc.cpp:52-55)."""
+
+    def __init__(self, value=None):
+        self._value = value
+
+    def set(self, value):
+        self._value = value
+
+    def get(self):
+        return self._value
+
+
+class SharedMemory:
+    """Name -> SharedObject registry (handle->getSharedMemory analog)."""
+
+    def __init__(self):
+        self._objects: Dict[str, SharedObject] = {}
+
+    def get_shared_object(self, name: str) -> SharedObject:
+        if name not in self._objects:
+            self._objects[name] = SharedObject()
+        return self._objects[name]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ImuReading:
+    """XBot::ImuSensor analog (/root/reference/src/ForceAcc.cpp:267-268)."""
+
+    orientation: jax.Array       # (3,3) world-from-base
+    angular_velocity: jax.Array  # (3,) body frame
+    linear_acceleration: jax.Array  # (3,) body frame (incl. gravity)
+
+
+class SimRobot:
+    """Simulated robot: drive-level PD + commanded effort, integrated with
+    compliant ground contact for floating-base robots.
+
+    Sense/command split mirrors the reference: ``sense()`` then
+    ``set_reference(...)``/``move()`` advances physics by one control period.
+    """
+
+    def __init__(self, model: RobotModel, state: Optional[RobotState] = None,
+                 dt: float = 1e-3, substeps: int = 4,
+                 contact_links=(), ground_z: float = 0.0,
+                 contact_kp: float = 2e4, contact_kd: float = 300.0,
+                 mu: float = 0.8, dtype=jnp.float32):
+        self.model = model
+        self.dt = dt
+        self.substeps = substeps
+        self.state = state if state is not None else model.home_state()
+        self.dtype = dtype
+        self.contact_links = tuple(contact_links)
+        self._contact_idx = tuple(model.link_index(l) for l in contact_links)
+        self.ground_z = ground_z
+        self.contact_kp = contact_kp
+        self.contact_kd = contact_kd
+        self.mu = mu
+        nj = model.nj
+        # Drive-level impedance (robot->setStiffness/setDamping,
+        # /root/reference/src/QPPVMPlugin.cpp:267-268).
+        self.k = jnp.zeros(nj, dtype)
+        self.d = jnp.zeros(nj, dtype)
+        self._q_ref = self.state.q
+        self._tau_ref = jnp.zeros(nj, dtype)
+        self.shared_memory = SharedMemory()
+        self._fb_pos = self.shared_memory.get_shared_object(
+            "/sim/floating_base_position")
+        self._fb_vel = self.shared_memory.get_shared_object(
+            "/sim/floating_base_velocity")
+        self._publish_fb()
+        self._step = jax.jit(partial(_sim_step, model, dt / substeps,
+                                     self._contact_idx, ground_z,
+                                     contact_kp, contact_kd, mu))
+
+    # --- sense side -----------------------------------------------------
+    def get_motor_position(self) -> jax.Array:
+        return self.state.q
+
+    def get_motor_velocity(self) -> jax.Array:
+        return self.state.qd
+
+    def get_imu(self) -> ImuReading:
+        st = self.state
+        g = self.model.gravity
+        acc_body = -jnp.einsum("ji,j->i", st.base_rot, g.astype(st.q.dtype))
+        return ImuReading(orientation=st.base_rot,
+                          angular_velocity=st.base_vel[:3],
+                          linear_acceleration=acc_body)
+
+    # --- command side ---------------------------------------------------
+    def set_stiffness(self, k):
+        self.k = jnp.asarray(k, self.dtype)
+
+    def set_damping(self, d):
+        self.d = jnp.asarray(d, self.dtype)
+
+    def set_reference(self, tau_ref=None, q_ref=None):
+        """setReferenceFrom(model, Sync::Effort [, Sync::Position])
+        (/root/reference/src/QPPVMPlugin.cpp:320, ForceAcc.cpp:242)."""
+        if tau_ref is not None:
+            self._tau_ref = jnp.asarray(tau_ref, self.dtype)
+        if q_ref is not None:
+            self._q_ref = jnp.asarray(q_ref, self.dtype)
+
+    def move(self):
+        """Advance physics by one control period (robot->move(),
+        /root/reference/src/QPPVMPlugin.cpp:328)."""
+        for _ in range(self.substeps):
+            self.state = self._step(self.state, self._tau_ref, self._q_ref,
+                                    self.k, self.d)
+        self._publish_fb()
+
+    def _publish_fb(self):
+        if self.model.floating:
+            self._fb_pos.set(self.state.base_pos)
+            self._fb_vel.set(self.state.base_rot @ self.state.base_vel[3:])
+
+
+def _sim_step(model: RobotModel, h: float, contact_idx, ground_z,
+              kp_c, kd_c, mu, state: RobotState, tau_ref, q_ref, k, d):
+    """One physics substep (jitted): drive PD + effort + ground contact."""
+    tau = tau_ref + k * (q_ref - state.q) - d * state.qd
+    tau = jnp.clip(tau, -model.tau_max, model.tau_max)
+
+    ext = None
+    if contact_idx:
+        kin = kinematics.fk(model, state)
+        J_all = kinematics.all_link_jacobians(model, kin)
+        u = state.u if model.floating else state.qd
+        ext = jnp.zeros((model.nj, 6), state.q.dtype)
+        for li in contact_idx:
+            p = kin.p[li]
+            v = J_all[li] @ u
+            pen = ground_z - p[2]                       # >0 when penetrating
+            in_contact = pen > 0.0
+            fz = jnp.maximum(kp_c * pen - kd_c * v[2], 0.0)
+            ft = -kd_c * v[:2] * 5.0                    # tangential damping
+            ft_max = mu * fz
+            ft_norm = jnp.linalg.norm(ft) + 1e-9
+            ft = ft * jnp.minimum(1.0, ft_max / ft_norm)
+            f = jnp.where(in_contact,
+                          jnp.concatenate([ft, fz[None]]),
+                          jnp.zeros(3, state.q.dtype))
+            wrench = jnp.concatenate([f, jnp.zeros(3, state.q.dtype)])
+            ext = ext.at[li].add(wrench)
+
+    udot = dynamics.forward_dynamics(model, state, tau, ext_wrenches=ext)
+    return dynamics.integrate(model, state, udot, h)

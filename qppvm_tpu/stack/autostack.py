@@ -1,0 +1,104 @@
+"""AutoStack: the `+` / `/` / `<<` task-stack DSL (L5 of SURVEY.md §1).
+
+Re-designs OpenSoT's AutoStack (/root/reference/src/QPPVMPlugin.cpp:177-179:
+``(_ee_task_right + _ee_task_left) / (_joint_task) << _torque_limits``;
+/root/reference/src/ForceAcc.cpp:131-133). An AutoStack is *static
+structure*; per tick it assembles numeric ``StackData`` from the model data —
+inside jit, so stack assembly + hierarchical solve fuse into one XLA program.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+
+from qppvm_tpu.model.dynamics import ModelData
+from qppvm_tpu.model.robot import RobotModel, RobotState
+from qppvm_tpu.opt import hierarchy
+from qppvm_tpu.tasks.base import BOX, ROWS, AssembleCtx, Constraint, Task
+
+
+class AutoStack:
+    """Ordered priority levels + attached constraints."""
+
+    def __init__(self, level0: Sequence[Task] | Task):
+        if isinstance(level0, Task):
+            level0 = [level0]
+        self.levels: List[List[Task]] = [list(level0)]
+        self.constraints: List[Constraint] = []
+
+    # --- DSL ------------------------------------------------------------
+    def __truediv__(self, other) -> "AutoStack":
+        """Append a lower-priority level (`/` operator)."""
+        if isinstance(other, AutoStack):
+            if other.constraints:
+                self.constraints.extend(other.constraints)
+            self.levels.extend(other.levels)
+            return self
+        self.levels.append([other] if isinstance(other, Task) else list(other))
+        return self
+
+    def __lshift__(self, constraint: Constraint) -> "AutoStack":
+        """Attach a constraint/bound (`<<` operator)."""
+        self.constraints.append(constraint)
+        return self
+
+    # --- assembly -------------------------------------------------------
+    def tasks(self) -> List[Task]:
+        out = []
+        for lv in self.levels:
+            for t in lv:
+                out.extend(t.base_tasks())
+        return out
+
+    def ref_init(self, model: RobotModel, data: ModelData,
+                 state: RobotState) -> Dict[str, Any]:
+        """Initial references for every task (bumpless start — the analog of
+        on_start reference capture, /root/reference/src/QPPVMPlugin.cpp:271-279)."""
+        refs: Dict[str, Any] = {}
+        for t in self.tasks():
+            refs[t.name] = t.ref_init(model, data, state)
+        return refs
+
+    def build(self, model: RobotModel, data: ModelData, state: RobotState,
+              refs: Dict[str, Any], nx: int, dtype=jnp.float32
+              ) -> hierarchy.StackData:
+        """Assemble numeric StackData for one tick (the analog of
+        autostack->update(q), /root/reference/src/QPPVMPlugin.cpp:226)."""
+        ctx = AssembleCtx(model=model, data=data, state=state, refs=refs,
+                          nx=nx, dtype=dtype)
+        levels = []
+        for lv in self.levels:
+            As, bs = [], []
+            for t in lv:
+                A, b = t.assemble(ctx)
+                As.append(A)
+                bs.append(b)
+            levels.append(hierarchy.LevelData(
+                A=jnp.concatenate(As, axis=0), b=jnp.concatenate(bs)))
+
+        big = jnp.asarray(1e20, dtype)
+        lb = jnp.full((nx,), -big, dtype)
+        ub = jnp.full((nx,), big, dtype)
+        C_rows, lC_rows, uC_rows = [], [], []
+        for c in self.constraints:
+            kind, C, lo, hi = c.assemble(ctx)
+            if kind == BOX:
+                lb = jnp.maximum(lb, lo.astype(dtype))
+                ub = jnp.minimum(ub, hi.astype(dtype))
+            elif kind == ROWS:
+                C_rows.append(C.astype(dtype))
+                lC_rows.append(lo.astype(dtype))
+                uC_rows.append(hi.astype(dtype))
+            else:
+                raise ValueError(f"unknown constraint kind {kind}")
+        if C_rows:
+            C = jnp.concatenate(C_rows, axis=0)
+            lC = jnp.concatenate(lC_rows)
+            uC = jnp.concatenate(uC_rows)
+        else:
+            C = jnp.zeros((0, nx), dtype)
+            lC = jnp.zeros((0,), dtype)
+            uC = jnp.zeros((0,), dtype)
+        return hierarchy.StackData(levels=tuple(levels), C=C, lC=lC, uC=uC,
+                                   lb=lb, ub=ub)

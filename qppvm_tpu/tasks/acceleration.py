@@ -1,0 +1,79 @@
+"""Acceleration-level tasks over an Optvar decision variable
+(x = [qddot; contact wrenches ...]), as used by the ForceAcc plugin.
+
+Re-designs ``tasks::acceleration::Cartesian``
+(/root/reference/src/ForceAcc.cpp:83-89,118-122) and
+``tasks::acceleration::Postural`` (:105-107).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from qppvm_tpu.model import kinematics, spatial
+from qppvm_tpu.opt.variables import AffineExpr
+from qppvm_tpu.tasks.base import AssembleCtx, Task
+
+
+class Cartesian(Task):
+    """Cartesian acceleration task: J udot + Jdot u = xdd_des with a PD servo
+    on the pose reference (setPositionReference / resetReference,
+    /root/reference/src/ForceAcc.cpp:157-162,181)."""
+
+    def __init__(self, name: str, distal_link: str, qddot: AffineExpr,
+                 base_link: str = "world", kp: float = 100.0,
+                 kd: Optional[float] = None,
+                 indices: Optional[Sequence[int]] = None):
+        if base_link != "world":
+            raise NotImplementedError("only world-frame tasks supported")
+        self.name = name
+        self.distal_link = distal_link
+        self.qddot = qddot
+        self.kp = kp
+        self.kd = 2.0 * float(np.sqrt(kp)) if kd is None else kd
+        self.indices = np.asarray(
+            list(indices) if indices is not None else range(6), np.int32)
+
+    def ref_init(self, model, data, state):
+        R, p = kinematics.link_pose(model, data.kin, self.distal_link)
+        z6 = jnp.zeros(6, p.dtype)
+        return {"R": R, "p": p, "v": z6, "a": z6}
+
+    def assemble(self, ctx: AssembleCtx):
+        from qppvm_tpu.model.dynamics import frame_data
+        R, p, J, v, bias = frame_data(ctx.model, ctx.data, self.distal_link)
+        ref = ctx.refs[self.name]
+        e = spatial.pose_error(ref["R"], ref["p"], R, p)
+        xdd_des = ref["a"] + self.kp * e + self.kd * (ref["v"] - v)
+        A_full = (J @ self.qddot.M)[self.indices]
+        b_full = (xdd_des - bias - J @ self.qddot.c)[self.indices]
+        w = jnp.asarray(self.weight, ctx.dtype)
+        return w * A_full, w * b_full
+
+
+class Postural(Task):
+    """Joint-space acceleration task (/root/reference/src/ForceAcc.cpp:105-107).
+
+    Acts on the actuated-joint rows of qddot (skips the 6 floating-base rows
+    for floating models)."""
+
+    def __init__(self, name: str, qddot: AffineExpr, kp: float = 25.0,
+                 kd: Optional[float] = None):
+        self.name = name
+        self.qddot = qddot
+        self.kp = kp
+        self.kd = 2.0 * float(np.sqrt(kp)) if kd is None else kd
+
+    def ref_init(self, model, data, state):
+        return {"q": state.q}
+
+    def assemble(self, ctx: AssembleCtx):
+        qref = ctx.refs[self.name]["q"]
+        qdd_des = self.kp * (qref - ctx.state.q) - self.kd * ctx.state.qd
+        off = 6 if ctx.model.floating else 0
+        A = self.qddot.M[off:]
+        b = qdd_des - self.qddot.c[off:]
+        w = jnp.asarray(self.weight, ctx.dtype)
+        return w * A, w * b

@@ -1,0 +1,117 @@
+"""Generic constraints over affine expressions + dynamics feasibility +
+friction cones.
+
+Re-designs ``constraints::GenericConstraint``
+(/root/reference/src/ForceAcc.cpp:74-96: per-foot wrench box with unilateral
+f_z >= 10 N) and ``constraints::acceleration::DynamicFeasibility``
+(:109-114,203), and adds the linearized friction cone demanded by the
+BASELINE.json north star (no counterpart in the reference).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from qppvm_tpu.opt.variables import AffineExpr
+from qppvm_tpu.tasks.base import ROWS, AssembleCtx, Constraint
+
+
+class GenericConstraint(Constraint):
+    """lb <= expr(x) <= ub for an affine expression
+    (/root/reference/src/ForceAcc.cpp:91-95)."""
+
+    def __init__(self, name: str, expr: AffineExpr, ub, lb):
+        self.name = name
+        self.expr = expr
+        self.ub = jnp.asarray(ub)
+        self.lb = jnp.asarray(lb)
+
+    def assemble(self, ctx: AssembleCtx):
+        return (ROWS, self.expr.M,
+                self.lb.astype(ctx.dtype) - self.expr.c,
+                self.ub.astype(ctx.dtype) - self.expr.c)
+
+
+class DynamicFeasibility(Constraint):
+    """Floating-base (underactuated) rows of the equations of motion as an
+    equality constraint (/root/reference/src/ForceAcc.cpp:109-114):
+
+        B[:6,:] udot + h[:6] = sum_c (J_c^T f_c)[:6]
+
+    ``wrenches`` are affine views of per-contact forces: 3-vectors (point
+    contact, world frame) or 6-vectors (full wrench, linear-first).
+    """
+
+    def __init__(self, name: str, qddot: AffineExpr,
+                 wrenches: Sequence[AffineExpr],
+                 contact_links: Sequence[str]):
+        self.name = name
+        self.qddot = qddot
+        self.wrenches = list(wrenches)
+        self.contact_links = list(contact_links)
+
+    def _rows(self, ctx: AssembleCtx):
+        m = ctx.model
+        B6 = ctx.data.B[:6, :]                      # (6, nv)
+        C = B6 @ self.qddot.M                       # (6, nx)
+        c_off = B6 @ self.qddot.c
+        from qppvm_tpu.model.dynamics import frame_data
+        for link, wr in zip(self.contact_links, self.wrenches):
+            Jc = frame_data(m, ctx.data, link)[2]   # (6, nv) linear-first
+            JcT6 = Jc[: wr.size, :6].T              # (6, k) base rows of Jc^T
+            C = C - JcT6 @ wr.M
+            c_off = c_off - JcT6 @ wr.c
+        h6 = ctx.data.h[:6]
+        rhs = -h6 - c_off
+        return C, rhs
+
+    def assemble(self, ctx: AssembleCtx):
+        C, rhs = self._rows(ctx)
+        return ROWS, C, rhs, rhs                    # equality: lb == ub
+
+    def check_constraint(self, ctx: AssembleCtx, x):
+        """Residual of the equality at a solution
+        (/root/reference/src/ForceAcc.cpp:203)."""
+        C, rhs = self._rows(ctx)
+        return C @ x - rhs
+
+
+class FrictionCone(Constraint):
+    """Linearized (pyramid) friction cone per contact, in world frame with a
+    flat ground normal +z:  |f_x| <= mu/sqrt(2) f_z, |f_y| <= mu/sqrt(2) f_z,
+    f_min <= f_z <= f_max. North-star capability (SURVEY.md §2b C14
+    generalization); not present in the reference."""
+
+    def __init__(self, name: str, force: AffineExpr, mu: float = 0.7,
+                 f_min: float = 0.0, f_max: float = 1e4):
+        self.name = name
+        self.force = force  # (3,) affine view [fx, fy, fz]
+        self.mu = mu
+        self.f_min = f_min
+        self.f_max = f_max
+
+    def assemble(self, ctx: AssembleCtx):
+        mu = self.mu / np.sqrt(2.0)
+        F = self.force.M
+        c = self.force.c
+        fx, fy, fz = F[0], F[1], F[2]
+        cx, cy, cz = c[0], c[1], c[2]
+        big = jnp.asarray(1e20, ctx.dtype)
+        rows = jnp.stack([
+            fx - mu * fz,     # <= 0
+            -fx - mu * fz,    # <= 0
+            fy - mu * fz,     # <= 0
+            -fy - mu * fz,    # <= 0
+            fz,               # in [f_min, f_max]
+        ])
+        offs = jnp.stack([cx - mu * cz, -cx - mu * cz, cy - mu * cz,
+                          -cy - mu * cz, cz])
+        lb = jnp.stack(
+            [-big, -big, -big, -big, jnp.asarray(self.f_min, ctx.dtype)]
+        ) - offs
+        ub = jnp.stack(
+            [jnp.zeros((), ctx.dtype)] * 4 + [jnp.asarray(self.f_max, ctx.dtype)]
+        ) - offs
+        return ROWS, rows, lb, ub

@@ -1,0 +1,99 @@
+"""Runtime tests: TraceBuffer, ControlLoop lifecycle, trajectory, sensors."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from qppvm_tpu.model import zoo
+from qppvm_tpu.plugins.qppvm import QPPVMPlugin
+from qppvm_tpu.runtime.logger import TraceBuffer, get_logger
+from qppvm_tpu.runtime.plugin import (ControlLoop, Handle, get_plugin,
+                                      register_plugin, registered_plugins)
+from qppvm_tpu.runtime.robot_interface import SimRobot
+from qppvm_tpu.runtime.trajectory import min_jerk, qppvm_sinusoid, waypoint_spline
+
+
+def test_trace_buffer_roundtrip(tmp_path):
+    path = str(tmp_path / "log")
+    tb = TraceBuffer(path, capacity=100)
+    for i in range(10):
+        tb.add("tau_qp", np.full(3, float(i)))
+        tb.add("time_matlogger", float(i) * 1e-3)
+    out = tb.flush()
+    assert os.path.exists(out)
+    data = np.load(out)
+    assert data["tau_qp"].shape == (10, 3)
+    np.testing.assert_allclose(data["tau_qp"][4], 4.0)
+    # .mat parity artifact
+    assert os.path.exists(path + ".mat")
+
+
+def test_trace_buffer_capacity_bound():
+    tb = TraceBuffer("/tmp/qppvm_cap_test", capacity=5)
+    for i in range(20):
+        tb.add("x", float(i))
+    assert tb.data()["x"].shape == (5,)
+
+
+def test_plugin_registry():
+    @register_plugin("TestPlugin")
+    class _P:
+        pass
+
+    assert get_plugin("TestPlugin") is _P
+    assert "TestPlugin" in registered_plugins()
+
+
+def test_control_loop_runs_and_logs(tmp_path):
+    model = zoo.arm7()
+    plugin = QPPVMPlugin(model, left_ee="arm1_7", right_ee="arm1_7", iters=30)
+    robot = SimRobot(model, dt=1e-3, substeps=1)
+    trace = TraceBuffer(str(tmp_path / "loop_log"), capacity=1000)
+    loop = ControlLoop(plugin, robot, period=1e-3, trace=trace)
+    stats = loop.run(seconds=0.05)
+    assert stats.latencies_s.shape == (50,)
+    assert stats.p50_ms > 0
+    d = trace.data()
+    assert d["tau_desired"].shape[0] == 50
+    assert np.all(d["solver_failed"] == 0.0)
+
+
+def test_sinusoid_matches_reference_formula():
+    p0 = jnp.asarray([0.5, 0.2, 0.8])
+    t = 1.3
+    p = qppvm_sinusoid(p0, t, t0=0.0)
+    np.testing.assert_allclose(float(p[1]), 0.2 + 0.15 * np.sin(1.3), rtol=1e-6)
+    np.testing.assert_allclose(float(p[2]), 0.8 + 0.15 * (1 - np.cos(1.3)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(p[0]), 0.5, rtol=1e-6)
+
+
+def test_min_jerk_endpoints():
+    p0 = jnp.zeros(3)
+    p1 = jnp.ones(3)
+    p, v = min_jerk(p0, p1, 0.0, 2.0)
+    np.testing.assert_allclose(np.asarray(p), 0.0, atol=1e-7)
+    p, v = min_jerk(p0, p1, 2.0, 2.0)
+    np.testing.assert_allclose(np.asarray(p), 1.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v), 0.0, atol=1e-7)
+    p, v = min_jerk(p0, p1, 1.0, 2.0)
+    np.testing.assert_allclose(np.asarray(p), 0.5, atol=1e-7)
+
+
+def test_imu_reading():
+    model = zoo.quadruped()
+    robot = SimRobot(model)
+    imu = robot.get_imu()
+    assert imu.orientation.shape == (3, 3)
+    # gravity reading in body frame at identity orientation: +9.81 z
+    np.testing.assert_allclose(np.asarray(imu.linear_acceleration),
+                               [0, 0, 9.81], atol=1e-5)
+
+
+def test_shared_memory_channels():
+    model = zoo.quadruped()
+    robot = SimRobot(model)
+    fb = robot.shared_memory.get_shared_object("/sim/floating_base_position")
+    assert fb.get() is not None
+    np.testing.assert_allclose(np.asarray(fb.get()),
+                               np.asarray(robot.state.base_pos))
