@@ -23,6 +23,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from qppvm_tpu.model import kinematics, spatial
 from qppvm_tpu.model.robot import RobotModel, RobotState
@@ -76,47 +77,36 @@ def rnea(
     if gravity:
         a_base = a_base + _base_gravity_acc(model, state)
 
-    v = [None] * nj
-    a = [None] * nj
-    Es, pls = [], []
-    for i in range(nj):
-        E, pl = kinematics._joint_local(model, i, state.q[i])
-        Es.append(E)
-        pls.append(pl)
-        par = model.parent[i]
-        vp = v_base if par < 0 else v[par]
-        ap = a_base if par < 0 else a[par]
-        S = kinematics._motion_subspace_local(model, i, dtype)
-        vj = S * state.qd[i]
-        v[i] = spatial.xform_apply(E, pl, vp) + vj
-        a[i] = (
-            spatial.xform_apply(E, pl, ap)
-            + S * qdd[i]
-            + spatial.cross_motion(v[i], vj)
-        )
+    # level-parallel forward sweep (body-frame spatial v, a per link)
+    E_loc, p_loc = kinematics.joint_local_all(model, state.q)
+    v, a = kinematics.propagate_va(model, state.qd, qdd, v_base, a_base,
+                                   E_loc, p_loc)
 
-    f = [None] * nj
-    for i in range(nj):
-        Iv = spatial.inertia_apply(model.inertia[i], v[i])
-        f[i] = spatial.inertia_apply(model.inertia[i], a[i]) + spatial.cross_force(v[i], Iv)
-        if ext_wrenches is not None:
-            f[i] = f[i] - _ext_world_to_body(kin.R[i], ext_wrenches[i])
+    # per-link net spatial forces (fully vectorized)
+    Iv = jnp.einsum("nij,nj->ni", model.inertia, v)
+    f = jnp.einsum("nij,nj->ni", model.inertia, a) + spatial.cross_force(v, Iv)
+    if ext_wrenches is not None:
+        n_b = jnp.einsum("nji,nj->ni", kin.R, ext_wrenches[:, 3:])
+        f_b = jnp.einsum("nji,nj->ni", kin.R, ext_wrenches[:, :3])
+        f = f - jnp.concatenate([n_b, f_b], axis=-1)
 
-    tau = [None] * nj
-    f_base = spatial.inertia_apply(model.base_inertia, a_base) + spatial.cross_force(
-        v_base, spatial.inertia_apply(model.base_inertia, v_base)
-    )
-    for i in range(nj - 1, -1, -1):
-        S = kinematics._motion_subspace_local(model, i, dtype)
-        tau[i] = jnp.dot(S, f[i])
-        par = model.parent[i]
-        fp = spatial.xform_force_inv_apply(Es[i], pls[i], f[i])
-        if par < 0:
-            f_base = f_base + fp
-        else:
-            f[par] = f[par] + fp
+    # backward sweep, level-reversed: children are strictly deeper, so by the
+    # time a level is processed all its descendants have been accumulated
+    S = kinematics.motion_subspace_all(model, dtype)
+    tau = jnp.zeros(nj, dtype)
+    f_base = spatial.inertia_apply(model.base_inertia, a_base) + \
+        spatial.cross_force(v_base, spatial.inertia_apply(model.base_inertia,
+                                                          v_base))
+    for idx, par in reversed(kinematics.tree_levels(model.parent)):
+        fi = f[idx]
+        tau = tau.at[idx].set(jnp.einsum("ni,ni->n", S[idx], fi))
+        fp = spatial.xform_force_inv_apply(E_loc[idx], p_loc[idx], fi)
+        root = (par < 0)[:, None]
+        parc = np.maximum(par, 0)
+        f = f.at[parc].add(jnp.where(root, 0.0, fp))
+        f_base = f_base + jnp.sum(jnp.where(root, fp, 0.0), axis=0)
 
-    tau = jnp.stack(tau) + model.armature.astype(dtype) * qdd
+    tau = tau + model.armature.astype(dtype) * qdd
     if model.floating:
         return jnp.concatenate([f_base, tau])
     return tau
@@ -226,7 +216,7 @@ class ModelData:
     kin: kinematics.KinData
     B: jax.Array       # (nv, nv)
     h: jax.Array       # (nv,)
-    Binv: jax.Array    # (nv, nv)
+    Binv: Optional[jax.Array]  # (nv, nv); None unless need_binv was set
     J_all: jax.Array   # (nj, 6, nv) public world Jacobians at link origins
     vel_all: jax.Array  # (nj, 6) world link twists [v; w]
     bias_all: jax.Array  # (nj, 6) classical Jdot*u at link origins
@@ -280,11 +270,17 @@ def frame_data(model: RobotModel, data: "ModelData", name: str):
     return R, p, J, vel, bias
 
 
-def compute_model_data(model: RobotModel, state: RobotState) -> ModelData:
+def compute_model_data(model: RobotModel, state: RobotState,
+                       need_binv: bool = False) -> ModelData:
     kin = kinematics.fk(model, state)
     B = mass_matrix(model, state, kin=kin)
     h = nonlinear_term(model, state, kin=kin)
-    Binv = jnp.linalg.inv(B + 1e-9 * jnp.eye(model.nv, dtype=B.dtype))
+    if need_binv:
+        # matmul-only SPD inverse (opt/linalg.py) — no LU on the TPU path
+        from qppvm_tpu.opt import linalg as _linalg
+        Binv = _linalg.spd_inverse(B, method="ns", iters=18)
+    else:
+        Binv = None
     J_all = kinematics.all_link_jacobians(model, kin)
     u = state.u if model.floating else state.qd
     vel_all = jnp.einsum("nrv,v->nr", J_all, u)

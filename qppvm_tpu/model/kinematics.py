@@ -55,28 +55,69 @@ def _joint_local(model: RobotModel, i: int, qi):
     raise ValueError(f"unknown joint type {model.joint_type[i]}")
 
 
+_LEVEL_CACHE = {}
+
+
+def tree_levels(parent):
+    """Static depth-level structure: list of (joint_idx, parent_idx) numpy
+    arrays, one per tree depth. Joints at the same depth have independent
+    recursions, so each level is ONE vectorized gather+matmul+scatter instead
+    of a chain of per-joint ops — ~3x fewer sequential stages on typical
+    humanoid trees (the latency-critical path of the 1 kHz tick)."""
+    key = tuple(parent)
+    if key not in _LEVEL_CACHE:
+        depth = []
+        for i, p in enumerate(parent):
+            depth.append(0 if p < 0 else depth[p] + 1)
+        levels = []
+        for d in range(max(depth) + 1 if depth else 0):
+            idx = np.asarray([i for i in range(len(parent)) if depth[i] == d],
+                             np.int32)
+            par = np.asarray([parent[i] for i in idx], np.int32)
+            levels.append((idx, par))
+        _LEVEL_CACHE[key] = levels
+    return _LEVEL_CACHE[key]
+
+
+def joint_local_all(model: RobotModel, q):
+    """Vectorized local transforms for ALL joints: (E (nj,3,3), p (nj,3))."""
+    axis = model.axis
+    # batched Rodrigues (axes are unit-normalized at model build)
+    c = jnp.cos(q)[:, None, None]
+    s = jnp.sin(q)[:, None, None]
+    K = spatial.skew(axis)                        # (nj, 3, 3)
+    I = jnp.eye(3, dtype=q.dtype)
+    R_rot = I + s * K + (1.0 - c) * (K @ K)       # rotates by +q about axis
+    E_rev = jnp.swapaxes(R_rot, -1, -2) @ model.E_tree
+    p_rev = model.p_tree
+    p_pri = model.p_tree + jnp.einsum("nji,nj->ni", model.E_tree,
+                                      axis * q[:, None])
+    is_rev = np.asarray([t == REVOLUTE for t in model.joint_type])
+    mask = jnp.asarray(is_rev)[:, None, None]
+    E = jnp.where(mask, E_rev, model.E_tree)
+    p = jnp.where(mask[:, :, 0], p_rev, p_pri)
+    return E, p
+
+
 def fk(model: RobotModel, state: RobotState) -> KinData:
-    """World pose of every link frame + world joint axes (unrolled recursion)."""
-    Rs, ps = [], []
-    Sang, Slin_at = [], []
+    """World pose of every link frame + world joint axes (level-parallel)."""
     base_R, base_p = state.base_rot, state.base_pos
-    for i in range(model.nj):
-        E, pl = _joint_local(model, i, state.q[i])
-        par = model.parent[i]
-        Rp = base_R if par < 0 else Rs[par]
-        pp = base_p if par < 0 else ps[par]
-        R_wi = Rp @ E.T  # E maps parent->child coords, so child->parent is E.T
-        p_wi = pp + Rp @ pl
-        Rs.append(R_wi)
-        ps.append(p_wi)
-        a_w = R_wi @ model.axis[i]
-        Sang.append(a_w)
-        Slin_at.append(p_wi)
-    return KinData(
-        R=jnp.stack(Rs), p=jnp.stack(ps),
-        S_ang=jnp.stack(Sang), S_lin_at=jnp.stack(Slin_at),
-        base_R=base_R, base_p=base_p,
-    )
+    E_loc, p_loc = joint_local_all(model, state.q)
+    nj = model.nj
+    R = jnp.zeros((nj, 3, 3), state.q.dtype)
+    p = jnp.zeros((nj, 3), state.q.dtype)
+    for idx, par in tree_levels(model.parent):
+        parc = np.maximum(par, 0)
+        root = (par < 0)[:, None, None]
+        Rp = jnp.where(root, base_R[None], R[parc])
+        pp = jnp.where(root[:, :, 0], base_p[None], p[parc])
+        R_wi = Rp @ jnp.swapaxes(E_loc[idx], -1, -2)
+        p_wi = pp + jnp.einsum("nij,nj->ni", Rp, p_loc[idx])
+        R = R.at[idx].set(R_wi)
+        p = p.at[idx].set(p_wi)
+    S_ang = jnp.einsum("nij,nj->ni", R, model.axis.astype(state.q.dtype))
+    return KinData(R=R, p=p, S_ang=S_ang, S_lin_at=p,
+                   base_R=base_R, base_p=base_p)
 
 
 def _ancestor_mask(model: RobotModel) -> jnp.ndarray:
@@ -208,35 +249,17 @@ def bias_accelerations(model: RobotModel, kin: KinData, state: RobotState) -> ja
     linear-first world frame (the Jdot*qd term of acceleration Cartesian
     tasks: xdd = J*udot + Jdot*u).
 
-    Computed by propagating body-frame spatial velocity/acceleration with
-    udot = 0 and no gravity, then converting spatial->classical at each link
-    origin: p_dd = a_lin + w x v_lin.
+    Level-parallel propagation of body-frame spatial velocity/acceleration
+    with udot = 0 and no gravity, then spatial->classical conversion at each
+    link origin: p_dd = a_lin + w x v_lin.
     """
-    nj = model.nj
     dtype = state.q.dtype
-    v_body = [None] * nj
-    a_body = [None] * nj
-
     vb = state.base_vel if model.floating else jnp.zeros(6, dtype)
     ab = jnp.zeros(6, dtype)
-
-    Es, pls = [], []
-    for i in range(nj):
-        E, pl = _joint_local(model, i, state.q[i])
-        Es.append(E)
-        pls.append(pl)
-        par = model.parent[i]
-        vp = vb if par < 0 else v_body[par]
-        ap = ab if par < 0 else a_body[par]
-        S = _motion_subspace_local(model, i, dtype)
-        vj = S * state.qd[i]
-        v_i = spatial.xform_apply(E, pl, vp) + vj
-        a_i = spatial.xform_apply(E, pl, ap) + spatial.cross_motion(v_i, vj)
-        v_body[i] = v_i
-        a_body[i] = a_i
-
-    v_body = jnp.stack(v_body)   # (nj, 6) [w; v] body coords
-    a_body = jnp.stack(a_body)
+    E_loc, p_loc = joint_local_all(model, state.q)
+    v_body, a_body = propagate_va(model, state.qd,
+                                  jnp.zeros(model.nj, dtype), vb, ab,
+                                  E_loc, p_loc)
     # Rotate to world orientation (reference point stays the link origin).
     w_w = jnp.einsum("nij,nj->ni", kin.R, v_body[:, :3])
     v_w = jnp.einsum("nij,nj->ni", kin.R, v_body[:, 3:])
@@ -244,6 +267,41 @@ def bias_accelerations(model: RobotModel, kin: KinData, state: RobotState) -> ja
     aw_lin = jnp.einsum("nij,nj->ni", kin.R, a_body[:, 3:])
     lin_cl = aw_lin + jnp.cross(w_w, v_w)
     return jnp.concatenate([lin_cl, aw_ang], axis=-1)
+
+
+def motion_subspace_all(model: RobotModel, dtype) -> jax.Array:
+    """(nj, 6) local motion subspaces, angular-first."""
+    ax = model.axis.astype(dtype)
+    z = jnp.zeros_like(ax)
+    rev = jnp.asarray(
+        np.asarray([t == REVOLUTE for t in model.joint_type]))[:, None]
+    return jnp.where(rev, jnp.concatenate([ax, z], -1),
+                     jnp.concatenate([z, ax], -1))
+
+
+def propagate_va(model: RobotModel, qd, qdd, v_base, a_base, E_loc, p_loc):
+    """Level-parallel forward sweep of body-frame spatial velocity and
+    acceleration: v_i = X v_par + S qd_i ; a_i = X a_par + S qdd_i + v x S qd.
+    Returns ((nj, 6), (nj, 6))."""
+    nj = model.nj
+    dtype = qd.dtype
+    S = motion_subspace_all(model, dtype)
+    v = jnp.zeros((nj, 6), dtype)
+    a = jnp.zeros((nj, 6), dtype)
+    for idx, par in tree_levels(model.parent):
+        parc = np.maximum(par, 0)
+        root = (par < 0)[:, None]
+        vp = jnp.where(root, v_base[None], v[parc])
+        ap = jnp.where(root, a_base[None], a[parc])
+        E = E_loc[idx]
+        pl = p_loc[idx]
+        vj = S[idx] * qd[idx][:, None]
+        v_i = spatial.xform_apply(E, pl, vp) + vj
+        a_i = (spatial.xform_apply(E, pl, ap) + S[idx] * qdd[idx][:, None]
+               + spatial.cross_motion(v_i, vj))
+        v = v.at[idx].set(v_i)
+        a = a.at[idx].set(a_i)
+    return v, a
 
 
 def _motion_subspace_local(model: RobotModel, i: int, dtype):

@@ -65,6 +65,8 @@ def solve(
     refine: int = 2,
     rho: float = 0.1,
     rho_updates: int = 3,
+    polish_rounds: int = 2,
+    assume_warm_kinv: bool = False,
 ):
     """Solve the cascade. Returns (x, warm_states, infos).
 
@@ -92,6 +94,12 @@ def solve(
         reg = eps * eps_abs_scale * (jnp.trace(P) / n + 1.0)
         P = P + reg * I
         qv = -(lv.A.T @ lv.b)
+        if warm is not None:
+            # Regularize toward the warm-start solution, not toward zero:
+            # ||x - x_prev||^2 damps tick-to-tick jitter without biasing
+            # sustained solutions (e.g. gravity-supporting contact forces
+            # would otherwise sag toward 0 at large eps).
+            qv = qv - reg * warm[k].x
 
         rows = [stack.C, I] + locked_rows
         lo = [stack.lC, stack.lb] + locked_vals
@@ -103,7 +111,9 @@ def solve(
         prob = qp.QPProblem(P=P, q=qv, A=A_full, l=l_full, u=u_full)
         st = warm[k] if warm is not None else None
         x, st_new, info = qp.solve(prob, st, iters=iters, refine=refine,
-                                   rho=rho, rho_updates=rho_updates)
+                                   rho=rho, rho_updates=rho_updates,
+                                   polish_rounds=polish_rounds,
+                                   assume_warm_kinv=assume_warm_kinv)
         new_states.append(st_new)
         infos.append(info)
 

@@ -1,0 +1,138 @@
+"""Primal-dual interior-point QP solver — accuracy backstop to the ADMM path.
+
+Mehrotra predictor-corrector with a FIXED iteration count (jit/vmap-safe; no
+data-dependent control flow), for
+
+    minimize   1/2 x^T P x + q^T x
+    subject to l <= A x <= u
+
+Rows with u - l < tol are treated as equalities (dual nu), the rest get
+two-sided log barriers (slacks sl = Ax-l >= 0, su = u-Ax >= 0). Each
+iteration solves one regularized KKT system via the matmul-only Schur path
+(opt/linalg.py) — no factorizations, TPU-friendly, just more expensive per
+iteration than ADMM (quadratic convergence: ~12-18 iterations to 1e-8).
+
+Use when polish-grade accuracy is required without warm starts (e.g. cold
+MPC problems, verification reruns); the 1 kHz loop keeps warm-started ADMM.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from qppvm_tpu.opt import linalg
+from qppvm_tpu.opt.qp import QPInfo, QPProblem, _rel_residuals
+
+
+def solve(
+    problem: QPProblem,
+    *,
+    iters: int = 16,
+    tau_frac: float = 0.99,
+    inv_method: str = "ns",
+    eq_tol: float = 1e-9,
+):
+    """Returns (x, info). vmap over a leading batch axis for batches."""
+    P, q, A, l, u = problem.P, problem.q, problem.A, problem.l, problem.u
+    n = P.shape[-1]
+    m = A.shape[-2]
+    dtype = P.dtype
+
+    is_eq = (u - l) < eq_tol
+    ineq = ~is_eq
+    ineq_f = ineq.astype(dtype)
+    b_eq = jnp.where(is_eq, 0.5 * (l + u), 0.0)
+    E = A * is_eq.astype(dtype)[:, None]
+
+    # clip infinite bounds to a large-but-finite window for barrier math
+    BIG = jnp.asarray(1e12, dtype)
+    l_c = jnp.clip(l, -BIG, BIG)
+    u_c = jnp.clip(u, -BIG, BIG)
+
+    # strictly interior start
+    x = jnp.zeros(n, dtype)
+    Ax = A @ x
+    mid = jnp.clip(0.5 * (l_c + u_c), -BIG, BIG)
+    sl = jnp.where(ineq, jnp.maximum(Ax - l_c, 1.0), 1.0)
+    su = jnp.where(ineq, jnp.maximum(u_c - Ax, 1.0), 1.0)
+    zl = jnp.ones(m, dtype)
+    zu = jnp.ones(m, dtype)
+    nu = jnp.zeros(m, dtype)
+
+    n_ineq = jnp.maximum(jnp.sum(ineq_f), 1.0)
+    delta = jnp.asarray(1e-8, dtype) * (1.0 + jnp.trace(P) / n)
+    row_reg = jnp.where(is_eq, delta, 1.0)
+
+    def kkt_step(x, sl, su, zl, zu, nu, sigma_mu):
+        """One Newton step on the perturbed KKT with target sigma*mu."""
+        Ax = A @ x
+        # residuals
+        r_dual = P @ x + q + A.T @ (ineq_f * (zu - zl)) + E.T @ nu
+        r_eq = jnp.where(is_eq, Ax - b_eq, 0.0)
+        # eliminate slacks: complementarity  sl.zl = sigma_mu,  su.zu = sigma_mu
+        # d = zl/sl + zu/su (diagonal of the condensed system)
+        d = jnp.where(ineq, zl / sl + zu / su, 0.0)
+        # condensed rhs pieces
+        r_l = jnp.where(ineq, Ax - l_c - sl, 0.0)
+        r_u = jnp.where(ineq, u_c - Ax - su, 0.0)
+        g_l = jnp.where(ineq, (sigma_mu - sl * zl) / sl, 0.0)
+        g_u = jnp.where(ineq, (sigma_mu - su * zu) / su, 0.0)
+        w = g_l - g_u - (zl / sl) * r_l + (zu / su) * r_u
+        # KKT: (P + A^T diag(d) A) dx + E^T dnu = -(r_dual + A^T w_adj)
+        H = P + (A.T * d) @ A
+        rhs_x = -(r_dual - A.T @ (ineq_f * w))
+        dx, dnu = linalg.kkt_solve_schur(H, E, rhs_x, -r_eq, delta,
+                                         method=inv_method, refine=2,
+                                         row_reg=row_reg)
+        dAx = A @ dx
+        dsl = jnp.where(ineq, dAx + r_l, 0.0)
+        dsu = jnp.where(ineq, -dAx + r_u, 0.0)
+        dzl = jnp.where(ineq, (sigma_mu - sl * zl - zl * dsl) / sl, 0.0)
+        dzu = jnp.where(ineq, (sigma_mu - su * zu - zu * dsu) / su, 0.0)
+        return dx, dsl, dsu, dzl, dzu, dnu
+
+    def max_step(v, dv):
+        """Largest alpha in (0,1] with v + alpha dv >= (1-tau) v."""
+        ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+        return jnp.minimum(1.0, tau_frac * jnp.min(ratio))
+
+    def body(carry, _):
+        x, sl, su, zl, zu, nu = carry
+        mu = jnp.sum(jnp.where(ineq, sl * zl + su * zu, 0.0)) / (2 * n_ineq)
+
+        # predictor (affine scaling, sigma = 0)
+        dx, dsl, dsu, dzl, dzu, dnu = kkt_step(x, sl, su, zl, zu, nu, 0.0)
+        a_p = jnp.minimum(max_step(sl, dsl), max_step(su, dsu))
+        a_d = jnp.minimum(max_step(zl, dzl), max_step(zu, dzu))
+        a = jnp.minimum(a_p, a_d)
+        mu_aff = jnp.sum(jnp.where(
+            ineq, (sl + a * dsl) * (zl + a * dzl) +
+            (su + a * dsu) * (zu + a * dzu), 0.0)) / (2 * n_ineq)
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+
+        # corrector
+        dx, dsl, dsu, dzl, dzu, dnu = kkt_step(x, sl, su, zl, zu, nu,
+                                               sigma * mu)
+        a_p = jnp.minimum(max_step(sl, dsl), max_step(su, dsu))
+        a_d = jnp.minimum(max_step(zl, dzl), max_step(zu, dzu))
+        a = jnp.minimum(a_p, a_d)
+
+        x = x + a * dx
+        sl = jnp.where(ineq, sl + a * dsl, 1.0)
+        su = jnp.where(ineq, su + a * dsu, 1.0)
+        zl = jnp.where(ineq, zl + a * dzl, 1.0)
+        zu = jnp.where(ineq, zu + a * dzu, 1.0)
+        nu = nu + a * dnu
+        return (x, sl, su, zl, zu, nu), None
+
+    (x, sl, su, zl, zu, nu), _ = jax.lax.scan(
+        body, (x, sl, su, zl, zu, nu), None, length=iters)
+
+    y = ineq_f * (zu - zl) + jnp.where(is_eq, nu, 0.0)
+    z = jnp.clip(A @ x, l, u)
+    prim, dual = _rel_residuals(P, q, A, x, z, y)
+    obj = 0.5 * x @ P @ x + q @ x
+    return x, QPInfo(prim_res=prim, dual_res=dual, obj=obj)

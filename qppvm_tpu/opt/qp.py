@@ -31,6 +31,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from qppvm_tpu.opt import linalg
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -45,16 +47,25 @@ class QPProblem:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class QPState:
-    """Warm-start state carried across control ticks."""
+    """Warm-start state carried across control ticks. Besides the ADMM
+    iterates, carries the previous KKT inverse: at 1 kHz the KKT matrix
+    changes slowly, so Newton-Schulz re-converges from it in a handful of
+    matmuls — the TPU-native analog of qpOASES hot-start factor reuse."""
 
     x: jax.Array  # (n,)
     z: jax.Array  # (m,)
     y: jax.Array  # (m,)
+    Kinv: Optional[jax.Array] = None  # (n, n) scaled-space KKT inverse
+    rho_scale: Optional[jax.Array] = None  # () adapted rho carried over
 
     @staticmethod
     def zero(n: int, m: int, dtype=jnp.float32) -> "QPState":
+        # Kinv starts at zeros: the NS contraction guard then falls back to
+        # the cold init on the first tick (keeps pytree structure stable for
+        # lax.scan chains).
         return QPState(x=jnp.zeros(n, dtype), z=jnp.zeros(m, dtype),
-                       y=jnp.zeros(m, dtype))
+                       y=jnp.zeros(m, dtype), Kinv=jnp.zeros((n, n), dtype),
+                       rho_scale=jnp.ones((), dtype))
 
 
 @jax.tree_util.register_dataclass
@@ -69,9 +80,11 @@ class QPInfo:
 
 
 def _rho_vec(l, u, rho):
-    """Per-row penalty: boost equality rows (OSQP strategy)."""
+    """Per-row penalty: boost equality rows, damp fully-unbounded rows
+    (OSQP strategy). One-sided rows (e.g. friction-cone faces with
+    l = -inf, u = 0) are REAL constraints and keep the base penalty."""
     eq = (u - l) < 1e-8
-    loose = (u - l) > 1e16
+    loose = (l < -1e12) & (u > 1e12)  # robust to Ruiz row scaling of the 1e20 sentinels
     base = jnp.where(eq, rho * 1e3, rho)
     return jnp.where(loose, rho * 1e-6, base)
 
@@ -121,6 +134,10 @@ def solve(
     refine: int = 2,
     rho_updates: int = 3,
     scale_iters: int = 5,
+    inv_method: str = "ns",
+    polish_rounds: int = 2,
+    assume_warm_kinv: bool = False,
+    warm_kinv_iters: int = 12,
 ):
     """One dense QP solve. Returns (x, new_state, info). vmap for batches."""
     P0, q0, A0, l0, u0 = (problem.P, problem.q, problem.A, problem.l,
@@ -148,13 +165,50 @@ def solve(
     n_chunks = max(1, rho_updates + 1)
     chunk = max(1, iters // n_chunks)
 
-    rho_scale = jnp.asarray(1.0, dtype)
-    for _ in range(n_chunks):
+    # Carried rho may adapt DOWN across ticks (weak-curvature problems need
+    # small rho) but never carries an increase: persistently raised rho puts
+    # warm-started ADMM in its oscillatory regime. Within-solve adaptation
+    # can still raise it transiently.
+    rho_scale = (jnp.clip(state.rho_scale, 1e-2, 1.0)
+                 if state.rho_scale is not None
+                 else jnp.asarray(1.0, dtype))
+    Kinv_warm = state.Kinv
+    Kinv = None
+    for chunk_i in range(n_chunks):
         rho_v = rho_base * rho_scale
         K = P + sigma * jnp.eye(n, dtype=dtype) + (A.T * rho_v) @ A
         # Explicit inverse: K is strongly SPD (sigma shift); iterations then
-        # are pure matvecs (MXU-friendly under vmap), no triangular solves.
-        Kinv = _spd_inverse(K)
+        # are pure matvecs (MXU-friendly under vmap). inv_method="ns" keeps
+        # even the inversion matmul-only (no triangular solves on TPU).
+        if (assume_warm_kinv and chunk_i == 0 and Kinv_warm is not None
+                and inv_method == "ns"):
+            # Hot-start the inverse from the last tick (chunk 0 only — later
+            # chunks see a rho change, where a short warm NS from a cold init
+            # yields an inaccurate inverse that silently floors the dual
+            # residual). Guarded fallback to the cold init when the NS
+            # contraction condition ||I - X0 K|| < 1 fails.
+            I_n = jnp.eye(n, dtype=dtype)
+            E = I_n - Kinv_warm @ K
+            # NS diverges iff the SPECTRAL radius of E reaches 1; bound it by
+            # sigma_max <= sqrt(||E||_1 ||E||_inf) (a max-entry check is NOT
+            # a norm bound and let divergent warm starts through).
+            absE = jnp.abs(E)
+            err = jnp.sqrt(jnp.max(jnp.sum(absE, axis=0)) *
+                           jnp.max(jnp.sum(absE, axis=1)))
+            err = jnp.where(jnp.isfinite(err), err, jnp.asarray(2.0, dtype))
+            cold = I_n * (1.0 / jnp.maximum(
+                jnp.max(jnp.sum(jnp.abs(K), axis=0)), 1e-30))
+            X0 = jnp.where(err < 0.9, Kinv_warm, cold)
+
+            def ns_body(X, _):
+                return X @ (2.0 * I_n - K @ X), None
+
+            Kinv, _ = jax.lax.scan(ns_body, X0, None, length=warm_kinv_iters)
+            # belt-and-braces: never let a non-finite inverse poison the
+            # warm-start chain
+            Kinv = jnp.where(jnp.all(jnp.isfinite(Kinv)), Kinv, cold)
+        else:
+            Kinv = linalg.spd_inverse(K, method=inv_method)
 
         def body(carry, _):
             x, z, y = carry
@@ -171,7 +225,7 @@ def solve(
 
         prim, dual = _rel_residuals(P, q, A, x, z, y)
         factor = jnp.clip(jnp.sqrt(prim / jnp.maximum(dual, 1e-12)), 0.1, 10.0)
-        rho_scale = jnp.clip(rho_scale * factor, 1e-4, 1e4)
+        rho_scale = jnp.clip(rho_scale * factor, 1e-2, 1e2)
 
     # --- unscale ---------------------------------------------------------
     x = d * x
@@ -179,27 +233,23 @@ def solve(
     y = e * y
 
     if refine > 0:
-        for _ in range(2):
-            x, y = _polish(P0, q0, A0, l0, u0, x, y, steps=refine)
+        for _ in range(polish_rounds):
+            x, y = _polish(P0, q0, A0, l0, u0, x, y, steps=refine,
+                           inv_method=inv_method)
         z = jnp.clip(A0 @ x, l0, u0)
 
     prim, dual = _rel_residuals(P0, q0, A0, x, z, y)
     obj = 0.5 * x @ P0 @ x + q0 @ x
-    return x, QPState(x=x, z=z, y=y), QPInfo(prim_res=prim, dual_res=dual,
-                                             obj=obj)
+    return x, QPState(x=x, z=z, y=y, Kinv=Kinv, rho_scale=rho_scale), QPInfo(
+        prim_res=prim, dual_res=dual, obj=obj)
 
 
-def _spd_inverse(K):
-    L = jnp.linalg.cholesky(K)
-    I = jnp.eye(K.shape[0], dtype=K.dtype)
-    Y = jax.scipy.linalg.solve_triangular(L, I, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, Y, lower=False)
-
-
-def _polish(P, q, A, l, u, x, y, steps: int, eps_active: float = 1e-4):
+def _polish(P, q, A, l, u, x, y, steps: int, eps_active: float = 1e-4,
+            inv_method: str = "ns"):
     """Active-set polish (OSQP-style): treat near-active rows as equalities
-    and solve the equality-constrained KKT system by LU + iterative
-    refinement. Shape-static: inactive rows are zeroed rather than removed."""
+    and solve the equality-constrained KKT system by Schur complement with
+    matmul-only inverses + iterative refinement (see opt/linalg.py).
+    Shape-static: inactive rows are zeroed rather than removed."""
     n = P.shape[0]
     dtype = P.dtype
     Ax = A @ x
@@ -210,23 +260,13 @@ def _polish(P, q, A, l, u, x, y, steps: int, eps_active: float = 1e-4):
     Aa = A * act[:, None].astype(dtype)
     ba = jnp.where(act, b_act, 0.0).astype(dtype)
 
-    delta = 1e-7
-    K = jnp.block([
-        [P + delta * jnp.eye(n, dtype=dtype), Aa.T],
-        [Aa, -delta * jnp.eye(A.shape[0], dtype=dtype)],
-    ])
-    rhs = jnp.concatenate([-q, ba])
-    sol = jnp.zeros_like(rhs)
-    lu, piv = jax.scipy.linalg.lu_factor(K)
-
-    def ref_body(sol, _):
-        r = rhs - K @ sol
-        dlt = jax.scipy.linalg.lu_solve((lu, piv), r)
-        return sol + dlt, None
-
-    sol, _ = jax.lax.scan(ref_body, sol, None, length=steps)
-    x_p = sol[:n]
-    y_p = jnp.where(act, sol[n:], 0.0)
+    delta = 1e-6 * (1.0 + jnp.trace(P) / n)
+    row_reg = jnp.where(act, delta, 1.0).astype(dtype)
+    x_p, y_sol = linalg.kkt_solve_schur(P, Aa, -q, ba, delta,
+                                        method=inv_method,
+                                        refine=max(2, steps),
+                                        row_reg=row_reg)
+    y_p = jnp.where(act, y_sol, 0.0)
 
     # Accept polish only if it does not violate inactive constraints and
     # improves the dual residual (guards against a wrong active-set guess).

@@ -55,11 +55,15 @@ class ForceAccPlugin:
                  contact_links: Sequence[str] = ("foot_fl", "foot_fr",
                                                  "foot_hr", "foot_hl"),
                  waist_link: str = "pelvis",
-                 eps: float = 1e4, iters: int = 60,
+                 eps: float = 1e4, iters: int = 100,
                  fz_min: float = 10.0,
                  use_friction_cones: bool = False, mu: float = 0.7,
                  waist_kp: float = 100.0, postural_kp: float = 25.0,
+                 switchable_contacts: bool = False, wrench_dim: int = 3,
                  dtype=jnp.float32):
+        """``wrench_dim``: 3 = point contacts (reference semantics,
+        /root/reference/src/ForceAcc.cpp:67 'put 6 for full wrench');
+        6 = full wrench per contact (flat feet, config 4 humanoid)."""
         if not model.floating:
             raise ValueError("ForceAcc needs a floating-base model")
         self.model = model
@@ -70,7 +74,9 @@ class ForceAccPlugin:
         self.waist_link = waist_link
 
         nv = model.nv
-        variables = [("qddot", nv)] + [(cl, 3) for cl in contact_links]
+        self.wrench_dim = int(wrench_dim)
+        variables = [("qddot", nv)] + [(cl, self.wrench_dim)
+                                       for cl in contact_links]
         self.opt = Optvar(variables, dtype=dtype)
         self.qddot = self.opt["qddot"]
         self.wrenches = [self.opt[cl] for cl in contact_links]
@@ -87,19 +93,38 @@ class ForceAccPlugin:
         self.dyn_feas = DynamicFeasibility("DYN_FEAS", self.qddot,
                                            self.wrenches, contact_links)
 
+        self.switchable_contacts = switchable_contacts
+        gates = ([("contacts", i) for i in range(len(contact_links))]
+                 if switchable_contacts else [None] * len(contact_links))
         if use_friction_cones:
             wrench_constraints = [
-                FrictionCone(cl + "_cone", w, mu=mu, f_min=fz_min)
-                for cl, w in zip(contact_links, self.wrenches)
+                FrictionCone(cl + "_cone", w.rows([0, 1, 2]), mu=mu,
+                             f_min=fz_min, gate=g)
+                for cl, w, g in zip(contact_links, self.wrenches, gates)
             ]
+            if self.wrench_dim == 6:
+                # CoP/torsion box on the moment part of each full wrench
+                t_ub = jnp.asarray([30.0, 30.0, 10.0])
+                wrench_constraints += [
+                    GenericConstraint(cl + "_moment", w.rows([3, 4, 5]),
+                                      t_ub, -t_ub, gate=g)
+                    for cl, w, g in zip(contact_links, self.wrenches, gates)
+                ]
         else:
-            # ub=[1000,1000,1000], lb=[-1000,-1000,fz_min] — the 3-force
-            # version of the reference bounds (/root/reference/src/ForceAcc.cpp:74-76)
-            ub = jnp.asarray([1000.0, 1000.0, 1000.0])
-            lb = jnp.asarray([-1000.0, -1000.0, fz_min])
+            if self.wrench_dim == 6:
+                # the reference's exact full-wrench bounds
+                # (/root/reference/src/ForceAcc.cpp:74-76), with the
+                # unilateral f_z >= fz_min
+                ub = jnp.asarray([1000.0, 1000.0, 1000.0, 30.0, 30.0, 10.0])
+                lb = jnp.asarray([-1000.0, -1000.0, fz_min,
+                                  -30.0, -30.0, -10.0])
+            else:
+                # 3-force version of the reference bounds
+                ub = jnp.asarray([1000.0, 1000.0, 1000.0])
+                lb = jnp.asarray([-1000.0, -1000.0, fz_min])
             wrench_constraints = [
-                GenericConstraint(cl + "_bound", w, ub, lb)
-                for cl, w in zip(contact_links, self.wrenches)
+                GenericConstraint(cl + "_bound", w, ub, lb, gate=g)
+                for cl, w, g in zip(contact_links, self.wrenches, gates)
             ]
 
         feet_aggr = self.feet_tasks[0]
@@ -119,9 +144,15 @@ class ForceAccPlugin:
         data = dynamics.compute_model_data(self.model, state)
         refs = self.stack.ref_init(self.model, data, state)
         refs["COM"] = self.com_task.ref_init(self.model, data, state)
+        if self.switchable_contacts:
+            refs["contacts"] = {"active": jnp.ones(
+                len(self.contact_links), self.dtype)}
         stack_data = self.stack.build(self.model, data, state, refs,
                                       nx=self.opt.size, dtype=self.dtype)
-        warm = hierarchy.warm_start_init(stack_data)
+        # seed warm-start (incl. carried KKT inverses) with one cold solve
+        _, warm, _ = hierarchy.solve(
+            stack_data, hierarchy.warm_start_init(stack_data), eps=self.eps,
+            iters=self.iters, refine=2)
         initial_waist = refs["waist_task"]["p"]
         return refs, warm, initial_waist
 
@@ -145,17 +176,19 @@ class ForceAccPlugin:
         data = dynamics.compute_model_data(model, state)
         stack_data = self.stack.build(model, data, state, refs,
                                       nx=self.opt.size, dtype=self.dtype)
+        # warm-started RT loop: one rho rebuild is enough (rho_updates=1)
         x, warm_new, infos = hierarchy.solve(
-            stack_data, warm, eps=self.eps, iters=self.iters, refine=2)
-        failed = hierarchy.solve_failed(infos)
+            stack_data, warm, eps=self.eps, iters=self.iters, refine=2,
+            rho_updates=1, polish_rounds=1, assume_warm_kinv=True)
+        failed = hierarchy.solve_failed(infos, tol=5e-3)
 
         qddot = self.qddot.value(x)
-        wr = jnp.stack([w.value(x) for w in self.wrenches])  # (nc, 3)
+        wr = jnp.stack([w.value(x) for w in self.wrenches])  # (nc, wrench_dim)
 
         # tau_c = sum_c J_c^T f_c (actuated rows), reference :206-210
         tau_c_full = jnp.zeros(model.nv, self.dtype)
         for cl, w in zip(self.contact_links, self.wrenches):
-            Jc = dynamics.frame_data(model, data, cl)[2][:3]  # (3, nv)
+            Jc = dynamics.frame_data(model, data, cl)[2][: self.wrench_dim]
             tau_c_full = tau_c_full + Jc.T @ w.value(x)
 
         # tau = ID(qddot) - tau_c, actuated rows (reference :213-218)

@@ -55,7 +55,7 @@ class QPPVMPlugin:
                  left_ee: str = "arm1_7", right_ee: str = "arm2_7",
                  cart_stiffness: float = 700.0, cart_damping: float = 70.0,
                  joint_stiffness: float = 5.0, joint_damping: float = 2.0,
-                 eps: float = 1.0, iters: int = 60, dtype=jnp.float32,
+                 eps: float = 1.0, iters: int = 100, dtype=jnp.float32,
                  sine_ref: bool = False):
         if model.floating:
             raise ValueError("QPPVM is a fixed-base controller")
@@ -88,12 +88,16 @@ class QPPVMPlugin:
     def on_start(self, state: RobotState):
         """Capture references at the current configuration and return
         (refs, warm, start_pose) — bumpless start (reference :261-305)."""
-        data = dynamics.compute_model_data(self.model, state)
+        data = dynamics.compute_model_data(self.model, state, need_binv=True)
         refs = self.stack.ref_init(self.model, data, state)
         stack_data = self.stack.build(self.model, data, state, refs,
                                       nx=self.model.nj, dtype=self.dtype)
         from qppvm_tpu.opt import hierarchy as _h
-        warm = _h.warm_start_init(stack_data)
+        # seed the warm-start pytree (incl. the carried KKT inverses) with one
+        # cold full-accuracy solve, so the RT path can assume a valid hot
+        # start from tick 0 (bumpless start, reference :261-305)
+        _, warm, _ = _h.solve(stack_data, _h.warm_start_init(stack_data),
+                              eps=self.eps, iters=self.iters, refine=2)
         start_pose = dict(refs["LEFT_ARM"])
         return refs, warm, start_pose
 
@@ -116,13 +120,15 @@ class QPPVMPlugin:
         model = self.model
         state = state.astype(self.dtype)
         refs = jax.tree.map(lambda a: jnp.asarray(a, self.dtype), refs)
-        data = dynamics.compute_model_data(model, state)
+        data = dynamics.compute_model_data(model, state, need_binv=True)
         stack_data = self.stack.build(model, data, state, refs,
                                       nx=model.nj, dtype=self.dtype)
         from qppvm_tpu.opt import hierarchy
+        # warm-started RT loop: one rho rebuild is enough (rho_updates=1)
         x, warm_new, infos = hierarchy.solve(
-            stack_data, warm, eps=self.eps, iters=self.iters, refine=2)
-        failed = hierarchy.solve_failed(infos)
+            stack_data, warm, eps=self.eps, iters=self.iters, refine=2,
+            rho_updates=1, polish_rounds=1, assume_warm_kinv=True)
+        failed = hierarchy.solve_failed(infos, tol=5e-3)
         tau_qp = jnp.where(failed, jnp.zeros_like(x), x)
         h = data.h
         tau_d = tau_qp + h  # reference :256 (runs also on failure -> tau = h)

@@ -69,7 +69,9 @@ class SimRobot:
                  dt: float = 1e-3, substeps: int = 4,
                  contact_links=(), ground_z: float = 0.0,
                  contact_kp: float = 2e4, contact_kd: float = 300.0,
-                 mu: float = 0.8, dtype=jnp.float32):
+                 mu: float = 0.8, contact_offsets=None, dtype=jnp.float32):
+        """``contact_offsets``: optional dict link_name -> (K,3) local
+        contact points (flat-foot patches); default = the link origin."""
         self.model = model
         self.dt = dt
         self.substeps = substeps
@@ -77,6 +79,15 @@ class SimRobot:
         self.dtype = dtype
         self.contact_links = tuple(contact_links)
         self._contact_idx = tuple(model.link_index(l) for l in contact_links)
+        import numpy as _np
+        offs = []
+        for l in contact_links:
+            if contact_offsets and l in contact_offsets:
+                offs.append(tuple(map(tuple, _np.asarray(
+                    contact_offsets[l], float).reshape(-1, 3).tolist())))
+            else:
+                offs.append(((0.0, 0.0, 0.0),))
+        self._contact_offsets = tuple(offs)
         self.ground_z = ground_z
         self.contact_kp = contact_kp
         self.contact_kd = contact_kd
@@ -95,8 +106,8 @@ class SimRobot:
             "/sim/floating_base_velocity")
         self._publish_fb()
         self._step = jax.jit(partial(_sim_step, model, dt / substeps,
-                                     self._contact_idx, ground_z,
-                                     contact_kp, contact_kd, mu))
+                                     self._contact_idx, self._contact_offsets,
+                                     ground_z, contact_kp, contact_kd, mu))
 
     # --- sense side -----------------------------------------------------
     def get_motor_position(self) -> jax.Array:
@@ -142,9 +153,13 @@ class SimRobot:
             self._fb_vel.set(self.state.base_rot @ self.state.base_vel[3:])
 
 
-def _sim_step(model: RobotModel, h: float, contact_idx, ground_z,
-              kp_c, kd_c, mu, state: RobotState, tau_ref, q_ref, k, d):
-    """One physics substep (jitted): drive PD + effort + ground contact."""
+def _sim_step(model: RobotModel, h: float, contact_idx, contact_offsets,
+              ground_z, kp_c, kd_c, mu, state: RobotState, tau_ref, q_ref,
+              k, d):
+    """One physics substep (jitted): drive PD + effort + ground contact.
+    Each contact link may carry several local contact points (foot patch);
+    per-point compliant normal + friction-clamped tangential forces are
+    accumulated as a wrench at the link origin."""
     tau = tau_ref + k * (q_ref - state.q) - d * state.qd
     tau = jnp.clip(tau, -model.tau_max, model.tau_max)
 
@@ -154,21 +169,28 @@ def _sim_step(model: RobotModel, h: float, contact_idx, ground_z,
         J_all = kinematics.all_link_jacobians(model, kin)
         u = state.u if model.floating else state.qd
         ext = jnp.zeros((model.nj, 6), state.q.dtype)
-        for li in contact_idx:
-            p = kin.p[li]
-            v = J_all[li] @ u
-            pen = ground_z - p[2]                       # >0 when penetrating
-            in_contact = pen > 0.0
-            fz = jnp.maximum(kp_c * pen - kd_c * v[2], 0.0)
-            ft = -kd_c * v[:2] * 5.0                    # tangential damping
-            ft_max = mu * fz
-            ft_norm = jnp.linalg.norm(ft) + 1e-9
-            ft = ft * jnp.minimum(1.0, ft_max / ft_norm)
-            f = jnp.where(in_contact,
-                          jnp.concatenate([ft, fz[None]]),
-                          jnp.zeros(3, state.q.dtype))
-            wrench = jnp.concatenate([f, jnp.zeros(3, state.q.dtype)])
-            ext = ext.at[li].add(wrench)
+        for li, offsets in zip(contact_idx, contact_offsets):
+            p0 = kin.p[li]
+            R0 = kin.R[li]
+            tw = J_all[li] @ u                          # [v; w] at link origin
+            n_pts = len(offsets)
+            for off in offsets:
+                off = jnp.asarray(off, state.q.dtype)
+                r = R0 @ off
+                p = p0 + r
+                v = tw[:3] + jnp.cross(tw[3:], r)       # point velocity
+                pen = ground_z - p[2]                   # >0 when penetrating
+                in_contact = pen > 0.0
+                fz = jnp.maximum((kp_c * pen - kd_c * v[2]) / n_pts, 0.0)
+                ft = -kd_c * v[:2] * 5.0 / n_pts        # tangential damping
+                ft_max = mu * fz
+                ft_norm = jnp.linalg.norm(ft) + 1e-9
+                ft = ft * jnp.minimum(1.0, ft_max / ft_norm)
+                f = jnp.where(in_contact,
+                              jnp.concatenate([ft, fz[None]]),
+                              jnp.zeros(3, state.q.dtype))
+                wrench = jnp.concatenate([f, jnp.cross(r, f)])
+                ext = ext.at[li].add(wrench)
 
     udot = dynamics.forward_dynamics(model, state, tau, ext_wrenches=ext)
     return dynamics.integrate(model, state, udot, h)

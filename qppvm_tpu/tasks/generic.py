@@ -20,18 +20,30 @@ from qppvm_tpu.tasks.base import ROWS, AssembleCtx, Constraint
 
 class GenericConstraint(Constraint):
     """lb <= expr(x) <= ub for an affine expression
-    (/root/reference/src/ForceAcc.cpp:91-95)."""
+    (/root/reference/src/ForceAcc.cpp:91-95).
 
-    def __init__(self, name: str, expr: AffineExpr, ub, lb):
+    ``gate``: optional (refs_key, index) — a 0/1 signal in the refs pytree
+    that switches the constraint between its normal bounds (1) and the
+    equality expr(x) = 0 (0). This is the contact-switching mechanism
+    (BASELINE config 4): deactivating a contact forces its wrench to zero
+    with static shapes, inside the same compiled program."""
+
+    def __init__(self, name: str, expr: AffineExpr, ub, lb, gate=None):
         self.name = name
         self.expr = expr
         self.ub = jnp.asarray(ub)
         self.lb = jnp.asarray(lb)
+        self.gate = gate
 
     def assemble(self, ctx: AssembleCtx):
-        return (ROWS, self.expr.M,
-                self.lb.astype(ctx.dtype) - self.expr.c,
-                self.ub.astype(ctx.dtype) - self.expr.c)
+        lb = self.lb.astype(ctx.dtype)
+        ub = self.ub.astype(ctx.dtype)
+        if self.gate is not None:
+            key, idx = self.gate
+            g = ctx.refs[key]["active"][idx].astype(ctx.dtype)
+            lb = g * lb
+            ub = g * ub
+        return (ROWS, self.expr.M, lb - self.expr.c, ub - self.expr.c)
 
 
 class DynamicFeasibility(Constraint):
@@ -85,12 +97,13 @@ class FrictionCone(Constraint):
     generalization); not present in the reference."""
 
     def __init__(self, name: str, force: AffineExpr, mu: float = 0.7,
-                 f_min: float = 0.0, f_max: float = 1e4):
+                 f_min: float = 0.0, f_max: float = 1e4, gate=None):
         self.name = name
         self.force = force  # (3,) affine view [fx, fy, fz]
         self.mu = mu
         self.f_min = f_min
         self.f_max = f_max
+        self.gate = gate  # (refs_key, index) contact-switch signal
 
     def assemble(self, ctx: AssembleCtx):
         mu = self.mu / np.sqrt(2.0)
@@ -114,4 +127,10 @@ class FrictionCone(Constraint):
         ub = jnp.stack(
             [jnp.zeros((), ctx.dtype)] * 4 + [jnp.asarray(self.f_max, ctx.dtype)]
         ) - offs
+        if self.gate is not None:
+            key, idx = self.gate
+            g = ctx.refs[key]["active"][idx].astype(ctx.dtype)
+            # inactive: all rows become the equality f = 0
+            lb = g * lb + (1.0 - g) * (-offs)
+            ub = g * ub + (1.0 - g) * (-offs)
         return ROWS, rows, lb, ub
