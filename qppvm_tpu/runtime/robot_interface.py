@@ -57,6 +57,18 @@ class ImuReading:
     linear_acceleration: jax.Array  # (3,) body frame (incl. gravity)
 
 
+def standing_state(model: RobotModel, contact_links,
+                   ground_z: float = 0.0) -> RobotState:
+    """Home state translated so the lowest contact link rests on the ground
+    plane — the sim-world analog of the reference's on-robot starting posture
+    (home config + feet on the floor, /root/reference/src/ForceAcc.cpp:45-47)."""
+    st = model.home_state()
+    kin = kinematics.fk(model, st)
+    foot_z = min(float(kin.p[model.link_index(c)][2]) for c in contact_links)
+    shift = jnp.asarray([0.0, 0.0, foot_z - ground_z], st.base_pos.dtype)
+    return dataclasses.replace(st, base_pos=st.base_pos - shift)
+
+
 class SimRobot:
     """Simulated robot: drive-level PD + commanded effort, integrated with
     compliant ground contact for floating-base robots.
