@@ -161,10 +161,14 @@ def mass_matrix(model: RobotModel, state: RobotState,
 
 def forward_dynamics(model: RobotModel, state: RobotState, tau: jax.Array,
                      ext_wrenches: Optional[jax.Array] = None,
-                     kin: Optional[kinematics.KinData] = None) -> jax.Array:
+                     kin: Optional[kinematics.KinData] = None,
+                     method: str = "ns") -> jax.Array:
     """udot = B^{-1} (S^T tau + tau_ext - h). ``tau``: (nj,) actuated torques.
 
-    Dense Cholesky solve — exact, batched, MXU-friendly at WBC sizes.
+    ``method="ns"`` (default): matmul-only Newton-Schulz inverse apply +
+    iterative refinement — the TPU hot path (MPC rollouts vmap this
+    thousands-wide; a Cholesky here would serialize on the scalar units).
+    ``method="chol"`` is the exact CPU/reference path.
     """
     if kin is None:
         kin = kinematics.fk(model, state)
@@ -176,9 +180,17 @@ def forward_dynamics(model: RobotModel, state: RobotState, tau: jax.Array,
     else:
         tau_gen = tau
     rhs = tau_gen - h
-    L = jnp.linalg.cholesky(B + 1e-9 * jnp.eye(model.nv, dtype=B.dtype))
-    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    Breg = B + 1e-9 * jnp.eye(model.nv, dtype=B.dtype)
+    if method == "chol":
+        L = jnp.linalg.cholesky(Breg)
+        y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    from qppvm_tpu.opt import linalg as _linalg
+    Binv = _linalg.spd_inverse_ns(Breg, iters=22, refine=2)
+    x = Binv @ rhs
+    for _ in range(2):  # refinement against the true B: ~roundoff accuracy
+        x = x + Binv @ (rhs - Breg @ x)
+    return x
 
 
 def integrate(model: RobotModel, state: RobotState, udot: jax.Array,
