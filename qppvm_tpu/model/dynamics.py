@@ -61,6 +61,7 @@ def rnea(
     """
     nj = model.nj
     dtype = state.q.dtype
+    udot = jnp.asarray(udot, dtype)  # callers may pass f64 under x64 tests
     if kin is None:
         kin = kinematics.fk(model, state)
 

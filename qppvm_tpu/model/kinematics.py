@@ -284,7 +284,13 @@ def propagate_va(model: RobotModel, qd, qdd, v_base, a_base, E_loc, p_loc):
     acceleration: v_i = X v_par + S qd_i ; a_i = X a_par + S qdd_i + v x S qd.
     Returns ((nj, 6), (nj, 6))."""
     nj = model.nj
-    dtype = qd.dtype
+    # mixed-precision states (e.g. f64 q with f32 qd under x64 tests) must
+    # not scatter f64 values into f32 accumulators
+    dtype = jnp.result_type(qd.dtype, qdd.dtype, E_loc.dtype)
+    qd = qd.astype(dtype)
+    qdd = qdd.astype(dtype)
+    v_base = v_base.astype(dtype)
+    a_base = a_base.astype(dtype)
     S = motion_subspace_all(model, dtype)
     v = jnp.zeros((nj, 6), dtype)
     a = jnp.zeros((nj, 6), dtype)

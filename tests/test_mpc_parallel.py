@@ -90,7 +90,7 @@ def test_shard_batch_places_on_mesh():
 
 def test_psum_collective_on_mesh():
     """Explicit shard_map + psum sanity (the NCCL-equivalent layer)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     m = meshlib.make_mesh(8)
 
