@@ -53,6 +53,12 @@ def main():
 
     tau = step(states, refs_b, warm_b)
     tau.block_until_ready()  # compile + warm
+    # Guard: a solver that NaNs (e.g. bf16-precision matmuls) silently trips
+    # the zero-torque fallback and would "benchmark" garbage. Refuse.
+    if not bool(jnp.all(jnp.isfinite(tau))) or bool(
+            jnp.all(jnp.abs(tau) < 1e-9)):
+        raise RuntimeError("benchmark output is non-finite or all-zero "
+                           "torque — solver failed; numbers would be bogus")
 
     n_rep = 10
     t0 = time.perf_counter()

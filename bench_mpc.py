@@ -55,6 +55,10 @@ def main():
 
     U2, info = mpc.plan(key, st, refs, warm, U)
     U2.block_until_ready()  # compile
+    import numpy as np
+    if not np.isfinite(float(info["cost_mean"])):
+        raise RuntimeError("MPC rollout cost is non-finite — rollouts "
+                           "diverged; numbers would be bogus")
     reps = 3
     t0 = time.perf_counter()
     for i in range(reps):

@@ -94,6 +94,7 @@ class MPCConfig:
     """Sampling-MPC layer (config 5; greenfield vs the reference)."""
 
     enabled: bool = False
+    type: str = "sampling"             # sampling (MPPI) | ilqr (centroidal DDP)
     n_samples: int = 64
     horizon: int = 8
     noise_std: float = 0.05
@@ -200,9 +201,14 @@ def build_sim(cfg: ScenarioConfig, model):
 def build_mpc(cfg: ScenarioConfig, plugin, mesh=None):
     if not cfg.mpc.enabled:
         raise ValueError(f"scenario {cfg.name!r} has no mpc section enabled")
+    m = cfg.mpc
+    if m.type == "ilqr":
+        from qppvm_tpu.mpc.ddp_mpc import CentroidalMPC, CentroidalMPCConfig
+        return CentroidalMPC(
+            plugin.model, plugin.contact_links,
+            CentroidalMPCConfig(horizon=m.horizon, iterations=m.qp_iters))
     from qppvm_tpu.mpc.rollout import RolloutConfig
     from qppvm_tpu.mpc.sampling import MPPIConfig, SamplingMPC
-    m = cfg.mpc
     mppi = MPPIConfig(n_samples=m.n_samples, horizon=m.horizon,
                       noise_std=m.noise_std, push_std=m.push_std,
                       lambda_=m.lambda_)

@@ -27,6 +27,7 @@ import numpy as np
 
 from qppvm_tpu.model import kinematics, spatial
 from qppvm_tpu.model.robot import RobotModel, RobotState
+from qppvm_tpu.precision import f32_matmuls
 
 
 def _base_gravity_acc(model: RobotModel, state: RobotState):
@@ -160,6 +161,7 @@ def mass_matrix(model: RobotModel, state: RobotState,
     return B
 
 
+@f32_matmuls
 def forward_dynamics(model: RobotModel, state: RobotState, tau: jax.Array,
                      ext_wrenches: Optional[jax.Array] = None,
                      kin: Optional[kinematics.KinData] = None,

@@ -20,6 +20,7 @@ from qppvm_tpu.model import dynamics, kinematics
 from qppvm_tpu.model.robot import RobotModel, RobotState
 from qppvm_tpu.opt import hierarchy
 from qppvm_tpu.plugins.force_acc import ForceAccPlugin
+from qppvm_tpu.precision import f32_matmuls
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,6 +117,7 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
         tau = jnp.clip(tau, -model.tau_max, model.tau_max)
         return tau, warm_new, infos
 
+    @f32_matmuls
     def rollout(state0: RobotState, refs0, warm0, controls, scenario):
         push = scenario["push"]  # (H, 3)
         waist_p0 = refs0["waist_task"]["p"]

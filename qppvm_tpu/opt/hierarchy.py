@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from qppvm_tpu.opt import qp
+from qppvm_tpu.precision import f32_matmuls
 
 
 @jax.tree_util.register_dataclass
@@ -55,6 +56,7 @@ def warm_start_init(stack: StackData) -> Tuple[qp.QPState, ...]:
     return tuple(states)
 
 
+@f32_matmuls
 def solve(
     stack: StackData,
     warm: Optional[Tuple[qp.QPState, ...]] = None,

@@ -25,8 +25,10 @@ import jax.numpy as jnp
 
 from qppvm_tpu.opt import linalg
 from qppvm_tpu.opt.qp import QPInfo, QPProblem, _rel_residuals
+from qppvm_tpu.precision import f32_matmuls
 
 
+@f32_matmuls
 def solve(
     problem: QPProblem,
     *,

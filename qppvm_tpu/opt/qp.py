@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from qppvm_tpu.opt import linalg
+from qppvm_tpu.precision import f32_matmuls
 
 
 @jax.tree_util.register_dataclass
@@ -123,6 +124,7 @@ def _rel_residuals(P, q, A, x, z, y):
     return prim, dual
 
 
+@f32_matmuls
 def solve(
     problem: QPProblem,
     state: Optional[QPState] = None,

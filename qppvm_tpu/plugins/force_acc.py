@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from qppvm_tpu.model import dynamics
 from qppvm_tpu.model.robot import RobotModel, RobotState
+from qppvm_tpu.precision import f32_matmuls
 from qppvm_tpu.opt import hierarchy
 from qppvm_tpu.opt.variables import Optvar
 from qppvm_tpu.stack.autostack import AutoStack
@@ -169,6 +170,7 @@ class ForceAccPlugin:
         return self._step(state, refs, warm)
 
     # --- the jitted tick ------------------------------------------------
+    @f32_matmuls
     def _step_impl(self, state: RobotState, refs, warm):
         model = self.model
         state = state.astype(self.dtype)

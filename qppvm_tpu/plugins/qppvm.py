@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from qppvm_tpu.model import dynamics
 from qppvm_tpu.model.robot import RobotModel, RobotState
+from qppvm_tpu.precision import f32_matmuls
 from qppvm_tpu.stack.autostack import AutoStack
 from qppvm_tpu.tasks.base import Indices
 from qppvm_tpu.tasks.torque import (CartesianImpedanceCtrl, JointImpedanceCtrl,
@@ -116,6 +117,7 @@ class QPPVMPlugin:
         return self._step(state, refs, warm)
 
     # --- the jitted tick ------------------------------------------------
+    @f32_matmuls
     def _step_impl(self, state: RobotState, refs, warm):
         model = self.model
         state = state.astype(self.dtype)

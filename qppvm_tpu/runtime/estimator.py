@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from qppvm_tpu.model import dynamics, kinematics
 from qppvm_tpu.model.robot import RobotModel, RobotState
+from qppvm_tpu.precision import f32_matmuls
 
 
 def sync_model_state(robot, model: RobotModel,
@@ -118,6 +119,7 @@ class FloatingBaseEstimator:
                             jnp.asarray(imu_R, self.dtype),
                             jnp.asarray(imu_omega, self.dtype), active)
 
+    @f32_matmuls
     def _update_impl(self, est, q, qd, R, omega_b, active):
         r, J = self._feet_base_frame(q, R)     # (nc,3), (nc,3,nv)
         # Only contacts that were ALREADY in stance vote: a freshly-made
