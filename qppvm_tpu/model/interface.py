@@ -103,6 +103,27 @@ class ModelInterface:
             self.update()
         return self._data
 
+    def init_log(self, trace, capacity: Optional[int] = None) -> None:
+        """model->initLog(logger, n) (/root/reference/src/QPPVMPlugin.cpp:54):
+        preallocate the trace capacity before the RT loop starts."""
+        if capacity is not None:
+            trace.capacity = capacity
+        self._trace = trace
+
+    def log(self, trace=None) -> None:
+        """model->log (/root/reference/src/QPPVMPlugin.cpp:325): full model
+        state into the trace buffer."""
+        import numpy as np
+        trace = trace if trace is not None else getattr(self, "_trace", None)
+        if trace is None:
+            return
+        trace.add("model/q", np.asarray(self.state.q))
+        trace.add("model/qd", np.asarray(self.state.qd))
+        if self.model.floating:
+            trace.add("model/base_pos", np.asarray(self.state.base_pos))
+            trace.add("model/base_vel", np.asarray(self.state.base_vel))
+        trace.add("model/com", np.asarray(self.data.com_pos))
+
     # --- queries --------------------------------------------------------
     def get_joint_num(self) -> int:
         """/root/reference/src/QPPVMPlugin.cpp:61"""

@@ -102,3 +102,25 @@ class AutoStack:
             uC = jnp.zeros((0,), dtype)
         return hierarchy.StackData(levels=tuple(levels), C=C, lC=lC, uC=uC,
                                    lb=lb, ub=ub)
+
+    def log(self, trace, stack_data: hierarchy.StackData,
+            x=None, infos=None) -> None:
+        """Self-logging hook (autostack->log(logger),
+        /root/reference/src/QPPVMPlugin.cpp:227; solver->log, :250): per-level
+        task matrices' norms, residuals of the solution, and solver status
+        into a TraceBuffer."""
+        import numpy as np
+        for i, lv in enumerate(stack_data.levels):
+            trace.add(f"stack/level{i}_b", np.asarray(lv.b))
+            if x is not None:
+                trace.add(f"stack/level{i}_residual",
+                          np.asarray(lv.A @ x - lv.b))
+        if x is not None:
+            trace.add("stack/x", np.asarray(x))
+        if infos is not None:
+            for i, info in enumerate(infos):
+                trace.add(f"solver/level{i}_prim_res",
+                          float(info.prim_res))
+                trace.add(f"solver/level{i}_dual_res",
+                          float(info.dual_res))
+                trace.add(f"solver/level{i}_obj", float(info.obj))
