@@ -85,13 +85,26 @@ def main():
     base = results[0][1]
     eff = [(nd, r / (base * nd)) for nd, r in results]
     last_nd, last_eff = eff[-1]
-    print(json.dumps({
+    virtual = jax.devices()[0].platform == "cpu"
+    out = {
         "metric": "multi_device_scaling_efficiency",
         "value": round(last_eff, 3),
         "unit": f"fraction_linear@{last_nd}dev",
         "vs_baseline": round(last_eff / 0.8, 3),
         "per_device": {str(nd): round(e, 3) for nd, e in eff},
-    }))
+    }
+    if virtual:
+        # On virtual CPU devices all "devices" share one host's cores, and
+        # the 1-device baseline already uses them all via XLA intra-op
+        # threading — fraction_linear is NOT a statement about ICI scaling.
+        # What this run does validate: the sharded program compiles, runs,
+        # and total throughput still rises with mesh size (no collective
+        # bottleneck in the program structure).
+        out["note"] = ("virtual CPU mesh: shared-core efficiency, not ICI "
+                       "scaling; speedup@%d=%.2fx validates sharding "
+                       "structure only" % (last_nd,
+                                           results[-1][1] / base))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
