@@ -19,7 +19,13 @@
 #include <cstring>
 #include <cstdio>
 #include <ctime>
+#include <string>
 #include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 namespace {
 
@@ -178,6 +184,111 @@ int ring_pop(void* h, uint32_t* channel, float* out, uint32_t cap_floats) {
 
 uint64_t ring_dropped(void* h) {
     return static_cast<Ring*>(h)->dropped.load(std::memory_order_relaxed);
+}
+
+// ------------------------------------------------- shared-memory channel
+// Cross-process typed float channel — the native analog of XBot's
+// SharedObject/SharedMemory (/root/reference/src/ForceAcc.cpp:52-55:
+// a Gazebo plugin publishes floating-base pos/vel into shared memory read
+// by the RT plugin). POSIX shm_open + a seqlock: single writer, any number
+// of readers, wait-free on both sides (readers retry on a torn read).
+//
+// Layout: [u64 seq][u32 n][u32 pad][f32 data[n]]. seq odd = write in
+// progress.
+
+struct ShmHeader {
+    std::atomic<uint64_t> seq;
+    uint32_t n;
+    uint32_t pad;
+};
+
+struct ShmChannel {
+    ShmHeader* hdr = nullptr;
+    float* data = nullptr;
+    size_t map_len = 0;
+    int fd = -1;
+    bool owner = false;
+    std::string name;
+};
+
+void* shm_channel_create(const char* name, uint32_t n_floats) {
+    size_t len = sizeof(ShmHeader) + size_t(n_floats) * 4;
+    int fd = shm_open(name, O_CREAT | O_RDWR, 0600);
+    if (fd < 0) return nullptr;
+    if (ftruncate(fd, off_t(len)) != 0) { close(fd); return nullptr; }
+    void* p = mmap(nullptr, len, PROT_READ | PROT_WRITE, MAP_SHARED, fd, 0);
+    if (p == MAP_FAILED) { close(fd); return nullptr; }
+    auto* ch = new ShmChannel;
+    ch->hdr = static_cast<ShmHeader*>(p);
+    ch->data = reinterpret_cast<float*>(ch->hdr + 1);
+    ch->map_len = len;
+    ch->fd = fd;
+    ch->owner = true;
+    ch->name = name;
+    ch->hdr->seq.store(0, std::memory_order_relaxed);
+    ch->hdr->n = n_floats;
+    return ch;
+}
+
+void* shm_channel_open(const char* name) {
+    int fd = shm_open(name, O_RDWR, 0600);
+    if (fd < 0) return nullptr;
+    ShmHeader tmp;
+    if (read(fd, &tmp, sizeof(tmp)) != ssize_t(sizeof(tmp))) {
+        close(fd);
+        return nullptr;
+    }
+    size_t len = sizeof(ShmHeader) + size_t(tmp.n) * 4;
+    void* p = mmap(nullptr, len, PROT_READ | PROT_WRITE, MAP_SHARED, fd, 0);
+    if (p == MAP_FAILED) { close(fd); return nullptr; }
+    auto* ch = new ShmChannel;
+    ch->hdr = static_cast<ShmHeader*>(p);
+    ch->data = reinterpret_cast<float*>(ch->hdr + 1);
+    ch->map_len = len;
+    ch->fd = fd;
+    ch->owner = false;
+    ch->name = name;
+    return ch;
+}
+
+uint32_t shm_channel_size(void* h) {
+    return static_cast<ShmChannel*>(h)->hdr->n;
+}
+
+// Single writer: seqlock write (odd seq while writing).
+void shm_channel_write(void* h, const float* data, uint32_t n) {
+    auto* ch = static_cast<ShmChannel*>(h);
+    uint32_t m = std::min(n, ch->hdr->n);
+    uint64_t s = ch->hdr->seq.load(std::memory_order_relaxed);
+    ch->hdr->seq.store(s + 1, std::memory_order_release);  // odd: writing
+    std::atomic_thread_fence(std::memory_order_release);
+    std::memcpy(ch->data, data, size_t(m) * 4);
+    ch->hdr->seq.store(s + 2, std::memory_order_release);
+}
+
+// Reader: retry until a consistent (even, unchanged) snapshot; returns the
+// sequence number (0 = never written), or -1 if torn after max retries.
+int64_t shm_channel_read(void* h, float* out, uint32_t cap) {
+    auto* ch = static_cast<ShmChannel*>(h);
+    uint32_t m = std::min(cap, ch->hdr->n);
+    for (int attempt = 0; attempt < 1000; ++attempt) {
+        uint64_t s0 = ch->hdr->seq.load(std::memory_order_acquire);
+        if (s0 & 1) continue;  // write in progress
+        std::atomic_thread_fence(std::memory_order_acquire);
+        std::memcpy(out, ch->data, size_t(m) * 4);
+        std::atomic_thread_fence(std::memory_order_acquire);
+        uint64_t s1 = ch->hdr->seq.load(std::memory_order_acquire);
+        if (s0 == s1) return int64_t(s1);
+    }
+    return -1;
+}
+
+void shm_channel_close(void* h) {
+    auto* ch = static_cast<ShmChannel*>(h);
+    munmap(ch->hdr, ch->map_len);
+    close(ch->fd);
+    if (ch->owner) shm_unlink(ch->name.c_str());
+    delete ch;
 }
 
 }  // extern "C"

@@ -69,6 +69,7 @@ def solve(
     rho_updates: int = 3,
     polish_rounds: int = 2,
     assume_warm_kinv: bool = False,
+    polish_ns_iters: int = 24,
 ):
     """Solve the cascade. Returns (x, warm_states, infos).
 
@@ -115,7 +116,8 @@ def solve(
         x, st_new, info = qp.solve(prob, st, iters=iters, refine=refine,
                                    rho=rho, rho_updates=rho_updates,
                                    polish_rounds=polish_rounds,
-                                   assume_warm_kinv=assume_warm_kinv)
+                                   assume_warm_kinv=assume_warm_kinv,
+                                   polish_ns_iters=polish_ns_iters)
         new_states.append(st_new)
         infos.append(info)
 

@@ -63,7 +63,7 @@ def spd_inverse(K: jax.Array, method: str = "ns", **kw) -> jax.Array:
 
 
 def kkt_solve_schur(P, A_act, rhs_x, rhs_y, delta: float, method: str = "ns",
-                    refine: int = 3, row_reg=None):
+                    refine: int = 3, row_reg=None, ns_iters: int = 24):
     """Solve the (regularized) equality-KKT system
 
         [P + dI      A^T    ] [x]   [rhs_x]
@@ -83,10 +83,11 @@ def kkt_solve_schur(P, A_act, rhs_x, rhs_y, delta: float, method: str = "ns",
         row_norm = jnp.max(jnp.abs(A_act), axis=-1)
         row_reg = jnp.where(row_norm > 1e-12, delta, 1.0).astype(dtype)
     Pd = P + delta * jnp.eye(n, dtype=dtype)
-    Pinv = spd_inverse(Pd, method=method)
+    kw = {"iters": ns_iters} if method == "ns" else {}
+    Pinv = spd_inverse(Pd, method=method, **kw)
     S = A_act @ Pinv @ jnp.swapaxes(A_act, -1, -2)
     S = S + jnp.zeros_like(S).at[..., jnp.arange(m), jnp.arange(m)].set(row_reg)
-    Sinv = spd_inverse(S, method=method)
+    Sinv = spd_inverse(S, method=method, **kw)
 
     def solve_once(rx, ry):
         # y from Schur: (A Pd^-1 A^T + diag(r)) y = A Pd^-1 rx - ry

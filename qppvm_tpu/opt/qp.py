@@ -140,6 +140,7 @@ def solve(
     polish_rounds: int = 2,
     assume_warm_kinv: bool = False,
     warm_kinv_iters: int = 12,
+    polish_ns_iters: int = 24,
 ):
     """One dense QP solve. Returns (x, new_state, info). vmap for batches."""
     P0, q0, A0, l0, u0 = (problem.P, problem.q, problem.A, problem.l,
@@ -176,6 +177,28 @@ def solve(
                  else jnp.asarray(1.0, dtype))
     Kinv_warm = state.Kinv
     Kinv = None
+
+    def _ns_warm(K, X_guess, iters_):
+        """NS iteration hot-started from ``X_guess``, guarded by the
+        contraction bound sqrt(||E||_1 ||E||_inf) < 0.9 (a max-entry check
+        is NOT a norm bound and let divergent warm starts through); falls
+        back to the cold ||K||_1 init, and never returns non-finite."""
+        I_n = jnp.eye(n, dtype=dtype)
+        E = I_n - X_guess @ K
+        absE = jnp.abs(E)
+        err = jnp.sqrt(jnp.max(jnp.sum(absE, axis=0)) *
+                       jnp.max(jnp.sum(absE, axis=1)))
+        err = jnp.where(jnp.isfinite(err), err, jnp.asarray(2.0, dtype))
+        cold = I_n * (1.0 / jnp.maximum(
+            jnp.max(jnp.sum(jnp.abs(K), axis=0)), 1e-30))
+        X0 = jnp.where(err < 0.9, X_guess, cold)
+
+        def ns_body(X, _):
+            return X @ (2.0 * I_n - K @ X), None
+
+        X, _ = jax.lax.scan(ns_body, X0, None, length=iters_)
+        return jnp.where(jnp.all(jnp.isfinite(X)), X, cold)
+
     for chunk_i in range(n_chunks):
         rho_v = rho_base * rho_scale
         K = P + sigma * jnp.eye(n, dtype=dtype) + (A.T * rho_v) @ A
@@ -184,31 +207,13 @@ def solve(
         # even the inversion matmul-only (no triangular solves on TPU).
         if (assume_warm_kinv and chunk_i == 0 and Kinv_warm is not None
                 and inv_method == "ns"):
-            # Hot-start the inverse from the last tick (chunk 0 only — later
-            # chunks see a rho change, where a short warm NS from a cold init
-            # yields an inaccurate inverse that silently floors the dual
-            # residual). Guarded fallback to the cold init when the NS
-            # contraction condition ||I - X0 K|| < 1 fails.
-            I_n = jnp.eye(n, dtype=dtype)
-            E = I_n - Kinv_warm @ K
-            # NS diverges iff the SPECTRAL radius of E reaches 1; bound it by
-            # sigma_max <= sqrt(||E||_1 ||E||_inf) (a max-entry check is NOT
-            # a norm bound and let divergent warm starts through).
-            absE = jnp.abs(E)
-            err = jnp.sqrt(jnp.max(jnp.sum(absE, axis=0)) *
-                           jnp.max(jnp.sum(absE, axis=1)))
-            err = jnp.where(jnp.isfinite(err), err, jnp.asarray(2.0, dtype))
-            cold = I_n * (1.0 / jnp.maximum(
-                jnp.max(jnp.sum(jnp.abs(K), axis=0)), 1e-30))
-            X0 = jnp.where(err < 0.9, Kinv_warm, cold)
-
-            def ns_body(X, _):
-                return X @ (2.0 * I_n - K @ X), None
-
-            Kinv, _ = jax.lax.scan(ns_body, X0, None, length=warm_kinv_iters)
-            # belt-and-braces: never let a non-finite inverse poison the
-            # warm-start chain
-            Kinv = jnp.where(jnp.all(jnp.isfinite(Kinv)), Kinv, cold)
+            # Hot-start from the last tick's inverse: at 1 kHz the KKT matrix
+            # changes slowly and NS re-converges in a few matmuls (the
+            # qpOASES hot-start analog). Chunk 0 ONLY: later chunks see a rho
+            # change, and a short warm NS there yields an inaccurate inverse
+            # that silently floors the dual residual — measured as a humanoid
+            # sinking 16 cm in closed loop. They pay the full cold NS.
+            Kinv = _ns_warm(K, Kinv_warm, warm_kinv_iters)
         else:
             Kinv = linalg.spd_inverse(K, method=inv_method)
 
@@ -237,7 +242,7 @@ def solve(
     if refine > 0:
         for _ in range(polish_rounds):
             x, y = _polish(P0, q0, A0, l0, u0, x, y, steps=refine,
-                           inv_method=inv_method)
+                           inv_method=inv_method, ns_iters=polish_ns_iters)
         z = jnp.clip(A0 @ x, l0, u0)
 
     prim, dual = _rel_residuals(P0, q0, A0, x, z, y)
@@ -247,7 +252,7 @@ def solve(
 
 
 def _polish(P, q, A, l, u, x, y, steps: int, eps_active: float = 1e-4,
-            inv_method: str = "ns"):
+            inv_method: str = "ns", ns_iters: int = 24):
     """Active-set polish (OSQP-style): treat near-active rows as equalities
     and solve the equality-constrained KKT system by Schur complement with
     matmul-only inverses + iterative refinement (see opt/linalg.py).
@@ -267,7 +272,7 @@ def _polish(P, q, A, l, u, x, y, steps: int, eps_active: float = 1e-4,
     x_p, y_sol = linalg.kkt_solve_schur(P, Aa, -q, ba, delta,
                                         method=inv_method,
                                         refine=max(2, steps),
-                                        row_reg=row_reg)
+                                        row_reg=row_reg, ns_iters=ns_iters)
     y_p = jnp.where(act, y_sol, 0.0)
 
     # Accept polish only if it does not violate inactive constraints and

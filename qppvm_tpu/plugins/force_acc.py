@@ -178,10 +178,13 @@ class ForceAccPlugin:
         data = dynamics.compute_model_data(model, state)
         stack_data = self.stack.build(model, data, state, refs,
                                       nx=self.opt.size, dtype=self.dtype)
-        # warm-started RT loop: one rho rebuild is enough (rho_updates=1)
+        # warm-started RT loop: single rho chunk — adaptation carries across
+        # ticks (rho_scale in QPState); the KKT inverse is then always the
+        # 12-iteration warm NS, never a cold 26-iteration rebuild
         x, warm_new, infos = hierarchy.solve(
             stack_data, warm, eps=self.eps, iters=self.iters, refine=2,
-            rho_updates=1, polish_rounds=1, assume_warm_kinv=True)
+            rho_updates=1, polish_rounds=1, assume_warm_kinv=True,
+            polish_ns_iters=16)
         failed = hierarchy.solve_failed(infos, tol=5e-3)
 
         qddot = self.qddot.value(x)

@@ -53,6 +53,20 @@ def _load():
                              ctypes.POINTER(ctypes.c_float), ctypes.c_uint32]
     lib.ring_dropped.restype = ctypes.c_uint64
     lib.ring_dropped.argtypes = [ctypes.c_void_p]
+    lib.shm_channel_create.restype = ctypes.c_void_p
+    lib.shm_channel_create.argtypes = [ctypes.c_char_p, ctypes.c_uint32]
+    lib.shm_channel_open.restype = ctypes.c_void_p
+    lib.shm_channel_open.argtypes = [ctypes.c_char_p]
+    lib.shm_channel_size.restype = ctypes.c_uint32
+    lib.shm_channel_size.argtypes = [ctypes.c_void_p]
+    lib.shm_channel_write.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_float),
+                                      ctypes.c_uint32]
+    lib.shm_channel_read.restype = ctypes.c_int64
+    lib.shm_channel_read.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_float),
+                                     ctypes.c_uint32]
+    lib.shm_channel_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -128,5 +142,57 @@ class NativeTraceRing:
     def __del__(self):
         try:
             self._lib.ring_destroy(self._h)
+        except Exception:
+            pass
+
+
+class NativeSharedObject:
+    """Cross-process typed float channel over POSIX shared memory — the
+    native analog of XBot's SharedObject/SharedMemory
+    (/root/reference/src/ForceAcc.cpp:52-55: a simulator process publishes
+    floating-base pos/vel; the RT controller reads them). Seqlock protocol:
+    single writer, any readers, wait-free writes, readers retry torn reads.
+
+    >>> pub = NativeSharedObject("/qppvm_fb_pos", size=3, create=True)
+    >>> sub = NativeSharedObject("/qppvm_fb_pos")        # another process
+    >>> pub.write([0.0, 0.0, 0.9]); sub.read()
+    """
+
+    def __init__(self, name: str, size: Optional[int] = None,
+                 create: bool = False):
+        self._lib = _load()
+        if create:
+            if size is None:
+                raise ValueError("size required when create=True")
+            self._h = self._lib.shm_channel_create(name.encode(), size)
+        else:
+            self._h = self._lib.shm_channel_open(name.encode())
+        if not self._h:
+            raise OSError(f"shm channel {name!r} unavailable")
+        self.name = name
+        self.size = int(self._lib.shm_channel_size(self._h))
+
+    def write(self, data) -> None:
+        arr = np.ascontiguousarray(np.asarray(data, np.float32).ravel())
+        ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        self._lib.shm_channel_write(self._h, ptr, arr.size)
+
+    def read(self):
+        """Returns (seq, np.ndarray). seq == 0 means never written."""
+        out = np.empty(self.size, np.float32)
+        ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        seq = self._lib.shm_channel_read(self._h, ptr, self.size)
+        if seq < 0:
+            raise RuntimeError("torn read persisted (writer wedged?)")
+        return int(seq), out
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.shm_channel_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
         except Exception:
             pass

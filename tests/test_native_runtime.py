@@ -60,3 +60,54 @@ def test_ring_overflow_drops_not_corrupts():
         assert np.all(data == data[0])  # intact record
         seen += 1
     assert seen >= 1
+
+
+def test_shm_channel_same_process():
+    name = "/qppvm_test_shm_a"
+    pub = native.NativeSharedObject(name, size=6, create=True)
+    sub = native.NativeSharedObject(name)
+    seq, _ = sub.read()
+    assert seq == 0  # never written
+    pub.write([1, 2, 3, 4, 5, 6])
+    seq, v = sub.read()
+    assert seq == 2  # one completed write
+    np.testing.assert_allclose(v, [1, 2, 3, 4, 5, 6])
+    pub.write(np.arange(6) * 0.5)
+    seq2, v2 = sub.read()
+    assert seq2 == 4
+    np.testing.assert_allclose(v2, np.arange(6) * 0.5)
+    sub.close()
+    pub.close()
+
+
+def test_shm_channel_cross_process():
+    """True cross-process publish/subscribe — the reference's
+    Gazebo->plugin shared-memory pattern (/root/reference/src/ForceAcc.cpp:52-55)."""
+    import subprocess
+    import sys
+
+    name = "/qppvm_test_shm_b"
+    pub = native.NativeSharedObject(name, size=3, create=True)
+    pub.write([7.0, 8.0, 9.0])
+    code = (
+        "from qppvm_tpu.runtime.native import NativeSharedObject;"
+        f"ch = NativeSharedObject({name!r});"
+        "seq, v = ch.read();"
+        "assert seq == 2, seq;"
+        "assert list(v) == [7.0, 8.0, 9.0], v;"
+        "ch.write([1.0, 2.0, 3.0]);"
+        "ch.close();"
+        "print('child-ok')"
+    )
+    import os
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) + os.pathsep + env.get("PYTHONPATH", ""))
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert "child-ok" in out.stdout, (out.stdout, out.stderr)
+    seq, v = pub.read()  # child's write visible to the parent
+    assert seq == 4
+    np.testing.assert_allclose(v, [1.0, 2.0, 3.0])
+    pub.close()
