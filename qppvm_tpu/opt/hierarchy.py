@@ -70,6 +70,7 @@ def solve(
     polish_rounds: int = 2,
     assume_warm_kinv: bool = False,
     polish_ns_iters: int = 24,
+    warm_kinv_iters: int = 12,
 ):
     """Solve the cascade. Returns (x, warm_states, infos).
 
@@ -117,7 +118,8 @@ def solve(
                                    rho=rho, rho_updates=rho_updates,
                                    polish_rounds=polish_rounds,
                                    assume_warm_kinv=assume_warm_kinv,
-                                   polish_ns_iters=polish_ns_iters)
+                                   polish_ns_iters=polish_ns_iters,
+                                   warm_kinv_iters=warm_kinv_iters)
         new_states.append(st_new)
         infos.append(info)
 

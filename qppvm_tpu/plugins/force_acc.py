@@ -61,7 +61,8 @@ class ForceAccPlugin:
                  use_friction_cones: bool = False, mu: float = 0.7,
                  waist_kp: float = 100.0, postural_kp: float = 25.0,
                  switchable_contacts: bool = False, wrench_dim: int = 3,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32,
+                 solver_opts: Optional[Dict[str, Any]] = None):
         """``wrench_dim``: 3 = point contacts (reference semantics,
         /root/reference/src/ForceAcc.cpp:67 'put 6 for full wrench');
         6 = full wrench per contact (flat feet, config 4 humanoid)."""
@@ -73,6 +74,12 @@ class ForceAccPlugin:
         self.iters = iters
         self.contact_links = tuple(contact_links)
         self.waist_link = waist_link
+        # RT-loop solver knobs; override per deployment (swept in
+        # tools/tune_solver.py on real TPU)
+        self.solver_opts = dict(refine=2, rho_updates=1, polish_rounds=1,
+                                assume_warm_kinv=True, polish_ns_iters=16,
+                                warm_kinv_iters=12)
+        self.solver_opts.update(solver_opts or {})
 
         nv = model.nv
         self.wrench_dim = int(wrench_dim)
@@ -182,9 +189,8 @@ class ForceAccPlugin:
         # ticks (rho_scale in QPState); the KKT inverse is then always the
         # 12-iteration warm NS, never a cold 26-iteration rebuild
         x, warm_new, infos = hierarchy.solve(
-            stack_data, warm, eps=self.eps, iters=self.iters, refine=2,
-            rho_updates=1, polish_rounds=1, assume_warm_kinv=True,
-            polish_ns_iters=16)
+            stack_data, warm, eps=self.eps, iters=self.iters,
+            **self.solver_opts)
         failed = hierarchy.solve_failed(infos, tol=5e-3)
 
         qddot = self.qddot.value(x)

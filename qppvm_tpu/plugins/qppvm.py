@@ -57,7 +57,8 @@ class QPPVMPlugin:
                  cart_stiffness: float = 700.0, cart_damping: float = 70.0,
                  joint_stiffness: float = 5.0, joint_damping: float = 2.0,
                  eps: float = 1.0, iters: int = 100, dtype=jnp.float32,
-                 sine_ref: bool = False):
+                 sine_ref: bool = False,
+                 solver_opts: Optional[Dict[str, Any]] = None):
         if model.floating:
             raise ValueError("QPPVM is a fixed-base controller")
         self.model = model
@@ -65,6 +66,12 @@ class QPPVMPlugin:
         self.eps = eps
         self.iters = iters
         self.sine_ref = sine_ref
+        # RT-loop solver knobs; override per deployment (swept in
+        # tools/tune_solver.py on real TPU)
+        self.solver_opts = dict(refine=2, rho_updates=1, polish_rounds=1,
+                                assume_warm_kinv=True, polish_ns_iters=16,
+                                warm_kinv_iters=12)
+        self.solver_opts.update(solver_opts or {})
 
         nj = model.nj
         Kc = jnp.eye(6, dtype=dtype) * cart_stiffness
@@ -75,6 +82,19 @@ class QPPVMPlugin:
         self.ee_right = CartesianImpedanceCtrl(
             "RIGHT_ARM", right_ee, indices=Indices.range(0, 2),
             stiffness=Kc, damping=Dc, use_inertia_matrix=True)
+        # Elbow impedance pair — constructed but kept OUT of the stack,
+        # mirroring the reference's unused elbow tasks
+        # (/root/reference/src/QPPVMPlugin.cpp:154-166, links arm1_4/arm2_4).
+        # Link names resolve lazily at assemble time, so construction is safe
+        # on models without these links.
+        self.elbow_left = CartesianImpedanceCtrl(
+            "ELBOW_LEFT", left_ee.rsplit("_", 1)[0] + "_4",
+            indices=Indices.range(0, 2), stiffness=Kc, damping=Dc,
+            use_inertia_matrix=True)
+        self.elbow_right = CartesianImpedanceCtrl(
+            "ELBOW_RIGHT", right_ee.rsplit("_", 1)[0] + "_4",
+            indices=Indices.range(0, 2), stiffness=Kc, damping=Dc,
+            use_inertia_matrix=True)
         self.joint_task = JointImpedanceCtrl(
             stiffness=jnp.full((nj,), joint_stiffness, dtype),
             damping=jnp.full((nj,), joint_damping, dtype),
@@ -84,6 +104,28 @@ class QPPVMPlugin:
                       / self.joint_task) << self.torque_limits
 
         self._step = jax.jit(self._step_impl)
+
+    def drive_pd_profile(self, robot_k, robot_d,
+                         keep_joints=("j_arm1_5", "j_arm1_6", "j_arm1_7",
+                                      "j_arm2_5", "j_arm2_6", "j_arm2_7")):
+        """Drive-level (k, d) to apply when handing the robot to the QP:
+        zero everywhere so the QP torques act unopposed, EXCEPT the wrist
+        joints which keep their drive PD (the reference zeroes all gains but
+        j_arm{1,2}_{5,6,7}, /root/reference/src/QPPVMPlugin.cpp:80-96; the
+        profile is pushed to the drives in on_start at :267-269)."""
+        import numpy as np
+        robot_k = np.asarray(robot_k, dtype=np.float32)
+        robot_d = np.asarray(robot_d, dtype=np.float32)
+        k = np.zeros_like(robot_k)
+        d = np.zeros_like(robot_d)
+        for name in keep_joints:
+            try:
+                i = self.model.dof_index(name)
+            except ValueError:
+                continue
+            k[i] = robot_k[i]
+            d[i] = robot_d[i]
+        return jnp.asarray(k), jnp.asarray(d)
 
     # --- lifecycle ------------------------------------------------------
     def on_start(self, state: RobotState):
@@ -130,9 +172,8 @@ class QPPVMPlugin:
         # ticks (rho_scale in QPState); the KKT inverse is then always the
         # 12-iteration warm NS, never a cold 26-iteration rebuild
         x, warm_new, infos = hierarchy.solve(
-            stack_data, warm, eps=self.eps, iters=self.iters, refine=2,
-            rho_updates=1, polish_rounds=1, assume_warm_kinv=True,
-            polish_ns_iters=16)
+            stack_data, warm, eps=self.eps, iters=self.iters,
+            **self.solver_opts)
         failed = hierarchy.solve_failed(infos, tol=5e-3)
         tau_qp = jnp.where(failed, jnp.zeros_like(x), x)
         h = data.h

@@ -132,3 +132,40 @@ def test_cartesian_task_achieves_wrench():
     tau_qp = np.asarray(aux.tau_qp)
     np.testing.assert_allclose(np.asarray(A) @ tau_qp, np.asarray(b),
                                atol=2e-3)
+
+
+def test_drive_pd_profile_and_elbow_tasks():
+    """Reference init details: drive PD zeroed except the wrist joints
+    (/root/reference/src/QPPVMPlugin.cpp:80-96) and the built-but-unused
+    elbow impedance pair (:154-166)."""
+    model = zoo.dual_arm()
+    plugin = QPPVMPlugin(model)
+    nj = model.nj
+    robot_k = jnp.full((nj,), 500.0)
+    robot_d = jnp.full((nj,), 20.0)
+    k, d = plugin.drive_pd_profile(robot_k, robot_d)
+    k = np.asarray(k)
+    d = np.asarray(d)
+    wrists = [model.dof_index(n) for n in
+              ("j_arm1_5", "j_arm1_6", "j_arm1_7",
+               "j_arm2_5", "j_arm2_6", "j_arm2_7")]
+    others = [i for i in range(nj) if i not in wrists]
+    np.testing.assert_allclose(k[wrists], 500.0)
+    np.testing.assert_allclose(d[wrists], 20.0)
+    np.testing.assert_allclose(k[others], 0.0)
+    np.testing.assert_allclose(d[others], 0.0)
+
+    # elbow tasks exist, point at arm{1,2}_4, and assemble valid (A, b)
+    # rows without being part of the stack
+    state = model.home_state()
+    data = dynamics.compute_model_data(model, state, need_binv=True)
+    refs = plugin.stack.ref_init(model, data, state)
+    refs["ELBOW_LEFT"] = plugin.elbow_left.ref_init(model, data, state)
+    from qppvm_tpu.tasks.base import AssembleCtx
+    ctx = AssembleCtx(model=model, data=data, state=state, refs=refs,
+                      nx=model.nj, dtype=jnp.float32)
+    A, b = plugin.elbow_left.assemble(ctx)
+    assert A.shape == (3, model.nj) and b.shape == (3,)
+    assert bool(jnp.all(jnp.isfinite(A))) and bool(jnp.all(jnp.isfinite(b)))
+    stack_tasks = {t.name for lvl in plugin.stack.levels for t in lvl}
+    assert "ELBOW_LEFT" not in stack_tasks and "ELBOW_RIGHT" not in stack_tasks
