@@ -135,6 +135,14 @@ class ForceAccPlugin:
                 for cl, w, g in zip(contact_links, self.wrenches, gates)
             ]
 
+        # Position/orientation SubTask splits of the feet and waist tasks —
+        # constructed but kept OUT of the stack, mirroring the reference's
+        # unused splits (/root/reference/src/ForceAcc.cpp:125-129).
+        self.feet_pos = [SubTask(t, Indices.range(0, 2)) for t in
+                         self.feet_tasks]
+        self.waist_pos = SubTask(self.waist_task, Indices.range(0, 2))
+        self.waist_or = SubTask(self.waist_task, Indices.range(3, 5))
+
         feet_aggr = self.feet_tasks[0]
         for t in self.feet_tasks[1:]:
             feet_aggr = feet_aggr + t

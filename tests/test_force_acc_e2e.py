@@ -93,3 +93,31 @@ def test_friction_cone_variant():
     assert np.all(np.abs(w[:, 0]) <= mu_eff * w[:, 2] + 1e-3)
     assert np.all(np.abs(w[:, 1]) <= mu_eff * w[:, 2] + 1e-3)
     assert np.all(w[:, 2] >= 10.0 - 1e-3)
+
+
+def test_subtask_splits_built_but_unstacked():
+    """The reference constructs pos/or SubTask splits of feet and waist but
+    never stacks them (/root/reference/src/ForceAcc.cpp:125-129) — mirror
+    that: splits exist, slice the right rows, and are not in the stack."""
+    import jax.numpy as jnp
+    from qppvm_tpu.model import dynamics, zoo
+    from qppvm_tpu.plugins.force_acc import ForceAccPlugin
+    from qppvm_tpu.tasks.base import AssembleCtx
+
+    model = zoo.quadruped()
+    plugin = ForceAccPlugin(model, iters=20)
+    assert len(plugin.feet_pos) == 4
+    state = model.home_state()
+    data = dynamics.compute_model_data(model, state)
+    refs = plugin.stack.ref_init(model, data, state)
+    ctx = AssembleCtx(model=model, data=data, state=state, refs=refs,
+                      nx=plugin.opt.size, dtype=jnp.float32)
+    A_full, b_full = plugin.waist_task.assemble(ctx)
+    A_pos, b_pos = plugin.waist_pos.assemble(ctx)
+    A_or, _ = plugin.waist_or.assemble(ctx)
+    assert A_pos.shape[0] == 3 and A_or.shape[0] == 3
+    import numpy as np
+    np.testing.assert_array_equal(np.asarray(A_pos), np.asarray(A_full[:3]))
+    np.testing.assert_array_equal(np.asarray(A_or), np.asarray(A_full[3:6]))
+    names = {t.name for lvl in plugin.stack.levels for t in lvl}
+    assert plugin.waist_pos.name not in names
