@@ -68,7 +68,11 @@ class QPPVMPlugin:
         self.sine_ref = sine_ref
         # RT-loop solver knobs; override per deployment (swept in
         # tools/tune_solver.py on real TPU)
-        self.solver_opts = dict(refine=2, rho_updates=1, polish_rounds=1,
+        # polish_rounds=0: measured on TPU (tools/tune_solver.py) the
+        # active-set polish is always rejected by its acceptance guard in the
+        # warm-started RT loop (identical residuals) and costs ~30% of the
+        # step; the cold on_start solve keeps full polish for the warm seed.
+        self.solver_opts = dict(refine=2, rho_updates=1, polish_rounds=0,
                                 assume_warm_kinv=True, polish_ns_iters=16,
                                 warm_kinv_iters=12)
         self.solver_opts.update(solver_opts or {})

@@ -32,6 +32,9 @@ CONFIGS = {
     "i16_p8_w6": dict(iters=16, solver_opts=dict(polish_ns_iters=8,
                                                  warm_kinv_iters=6)),
     "i30_nopolish": dict(iters=30, solver_opts=dict(polish_rounds=0)),
+    "i30_nopolish_w8": dict(iters=30, solver_opts=dict(polish_rounds=0,
+                                                       warm_kinv_iters=8)),
+    "i40_nopolish": dict(iters=40, solver_opts=dict(polish_rounds=0)),
 }
 
 
