@@ -35,6 +35,18 @@ CONFIGS = {
     "i30_nopolish_w8": dict(iters=30, solver_opts=dict(polish_rounds=0,
                                                        warm_kinv_iters=8)),
     "i40_nopolish": dict(iters=40, solver_opts=dict(polish_rounds=0)),
+    # rho_updates=0: single ADMM chunk per tick -> zero cold NS inversions
+    # on warm ticks (rho_scale is carried across ticks in QPState, so the
+    # cross-tick adaptation loop still closes; only intra-solve rho
+    # rebalancing is dropped).
+    "i30_nopolish_ru0": dict(iters=30, solver_opts=dict(polish_rounds=0,
+                                                        rho_updates=0)),
+    "i30_nopolish_ru0_w8": dict(iters=30, solver_opts=dict(
+        polish_rounds=0, rho_updates=0, warm_kinv_iters=8)),
+    "i40_nopolish_ru0": dict(iters=40, solver_opts=dict(polish_rounds=0,
+                                                        rho_updates=0)),
+    "i60_nopolish_ru0": dict(iters=60, solver_opts=dict(polish_rounds=0,
+                                                        rho_updates=0)),
 }
 
 
