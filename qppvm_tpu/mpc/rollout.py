@@ -28,6 +28,13 @@ class RolloutConfig:
     horizon: int = 16
     dt: float = 0.01
     qp_iters: int = 20
+    # Warm-start the KKT inverse along the horizon (the carried QPState Kinv
+    # re-converges by a short guarded Newton-Schulz instead of a cold
+    # inversion — same strategy as the RT tick, see opt/qp.py). rho is
+    # adapted across steps (rho_updates=0), not inside each solve.
+    qp_warm_kinv: bool = True
+    qp_warm_kinv_iters: int = 16
+    qp_rho_updates: int = 0
     sim_substeps: int = 1
     contact_kp: float = 2e4
     contact_kd: float = 300.0
@@ -105,7 +112,9 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
                                 dtype=plugin.dtype)
         x, warm_new, infos = hierarchy.solve(
             sd, warm, eps=plugin.eps, iters=cfg.qp_iters, refine=0,
-            rho_updates=1)
+            rho_updates=cfg.qp_rho_updates,
+            assume_warm_kinv=cfg.qp_warm_kinv,
+            warm_kinv_iters=cfg.qp_warm_kinv_iters)
         qddot = plugin.qddot.value(x)
         tau_c = jnp.zeros(model.nv, plugin.dtype)
         for cl, w in zip(plugin.contact_links, plugin.wrenches):

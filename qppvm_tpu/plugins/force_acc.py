@@ -80,6 +80,14 @@ class ForceAccPlugin:
         # active-set polish is always rejected by its acceptance guard in the
         # warm-started RT loop (identical residuals) and costs ~30% of the
         # step; the cold on_start solve keeps full polish for the warm seed.
+        # rho_updates: 1 by default (robust). rho_updates=0 (single chunk, no
+        # intra-solve rho rebalance -> no cold NS inversion per tick) is 25%
+        # faster and MORE accurate on flat-contact stacks (TPU sweep
+        # 2026-08-19: 42.9k->53.7k solves/s, chained prim res 7.1e-4->2.3e-5)
+        # but FAILS closed-loop on friction-cone/6D-wrench stacks, where the
+        # carried rho_scale (clipped <= 1) can never raise rho as the
+        # intra-solve rebalance transiently can. Opt in per deployment after
+        # validating closed-loop (tools/validate_rt_profile.py).
         self.solver_opts = dict(refine=2, rho_updates=1, polish_rounds=0,
                                 assume_warm_kinv=True, polish_ns_iters=16,
                                 warm_kinv_iters=12)

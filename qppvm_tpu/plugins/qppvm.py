@@ -72,6 +72,8 @@ class QPPVMPlugin:
         # active-set polish is always rejected by its acceptance guard in the
         # warm-started RT loop (identical residuals) and costs ~30% of the
         # step; the cold on_start solve keeps full polish for the warm seed.
+        # rho_updates=0 (skip the per-tick cold NS inversion) is faster but
+        # must be validated closed-loop per deployment — see ForceAccPlugin.
         self.solver_opts = dict(refine=2, rho_updates=1, polish_rounds=0,
                                 assume_warm_kinv=True, polish_ns_iters=16,
                                 warm_kinv_iters=12)

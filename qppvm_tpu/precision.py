@@ -12,14 +12,31 @@ available for bulk rollout physics where a caller opts in explicitly.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 
-_PRECISION = "float32"
+# "float32" (HIGHEST, default) or "bfloat16_3x" (HIGH: 3 compensated bf16
+# MXU passes, ~f32 mantissa coverage at a fraction of the cost). Plain
+# "bfloat16" is known-bad here (NaNs, see module docstring). Overridable for
+# measured experiments via env or set_matmul_precision(); the RT default
+# stays full f32 until a sweep proves bf16_3x holds the closed-loop gates.
+_PRECISION = os.environ.get("QPPVM_MATMUL_PRECISION", "float32")
+
+
+def set_matmul_precision(p: str) -> None:
+    """Set the solver matmul precision policy (before tracing)."""
+    global _PRECISION
+    _PRECISION = p
+
+
+def get_matmul_precision() -> str:
+    return _PRECISION
 
 
 def f32_matmuls(fn):
-    """Decorator: trace ``fn`` under float32 matmul precision."""
+    """Decorator: trace ``fn`` under the pinned matmul precision (f32 by
+    default — see module docstring)."""
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
         with jax.default_matmul_precision(_PRECISION):

@@ -47,10 +47,22 @@ CONFIGS = {
                                                         rho_updates=0)),
     "i60_nopolish_ru0": dict(iters=60, solver_opts=dict(polish_rounds=0,
                                                         rho_updates=0)),
+    # Matmul-precision experiments: "high" = 3 compensated bf16 MXU passes
+    # (~f32 mantissa coverage), X6 = 6 passes (full f32 emulation). Plain
+    # bf16 is known-NaN (precision.py docstring).
+    "i30_nopolish_px6": dict(iters=30, solver_opts=dict(polish_rounds=0),
+                             precision="BF16_BF16_F32_X6"),
+    "i30_nopolish_phigh": dict(iters=30, solver_opts=dict(polish_rounds=0),
+                               precision="high"),
+    "i30_nopolish_ru0_px6": dict(iters=30, solver_opts=dict(
+        polish_rounds=0, rho_updates=0), precision="BF16_BF16_F32_X6"),
 }
 
 
 def run_one(name, cfg, batch, reps):
+    from qppvm_tpu import precision
+    cfg = dict(cfg)
+    precision.set_matmul_precision(cfg.pop("precision", "float32"))
     model = zoo.humanoid()
     plugin = ForceAccPlugin(model, contact_links=("l_sole", "r_sole"),
                             waist_link="pelvis", **cfg)
