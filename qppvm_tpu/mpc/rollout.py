@@ -35,6 +35,13 @@ class RolloutConfig:
     qp_warm_kinv: bool = True
     qp_warm_kinv_iters: int = 16
     qp_rho_updates: int = 0
+    # Relative-primal-residual threshold above which a rollout step counts
+    # as a solver failure. Deliberately looser than the 1e-3 RT-loop gate
+    # (opt/hierarchy.solve_failed): rollout QPs run trimmed iteration
+    # budgets to *rank* MPPI samples, so this flags genuinely
+    # infeasible/diverged scenarios, not merely loosely converged solves.
+    # The raw worst residual is surfaced alongside for stricter policies.
+    fail_tol: float = 0.05
     sim_substeps: int = 1
     contact_kp: float = 2e4
     contact_kd: float = 300.0
@@ -104,7 +111,11 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
             state = dataclasses.replace(state, base_vel=base_vel)
 
         c = cost_fn(model, state, tau, aux)
-        return (state, refs, warm, waist_p), c
+        # Per-step solver health (SURVEY.md §5: per-rollout residual
+        # reporting so infeasible scenarios are detectable in the MPC batch).
+        prim = jnp.max(jnp.stack([i.prim_res for i in aux]))
+        failed = hierarchy.solve_failed(aux, tol=cfg.fail_tol)
+        return (state, refs, warm, waist_p), (c, prim, failed)
 
     def _fast_step(state, refs, warm):
         data = dynamics.compute_model_data(model, state)
@@ -128,11 +139,17 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
 
     @f32_matmuls
     def rollout(state0: RobotState, refs0, warm0, controls, scenario):
+        """Returns (total_cost, health) where ``health`` reports the worst
+        QP residual / failure flag over the horizon — the batch-MPC analog
+        of the reference's per-tick solve-failure signal
+        (/root/reference/src/ForceAcc.cpp:189-193)."""
         push = scenario["push"]  # (H, 3)
         waist_p0 = refs0["waist_task"]["p"]
-        (_, _, _, _), costs = jax.lax.scan(
+        (_, _, _, _), (costs, prims, fails) = jax.lax.scan(
             one_step, (state0, refs0, warm0, waist_p0), (controls, push))
-        return jnp.sum(costs)
+        health = {"prim_res_max": jnp.max(prims),
+                  "solver_failed": jnp.any(fails)}
+        return jnp.sum(costs), health
 
     return rollout
 

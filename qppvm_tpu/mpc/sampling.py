@@ -34,6 +34,11 @@ class MPPIConfig:
     noise_std: float = 0.15
     push_std: float = 0.0     # domain randomization: random base pushes (N)
     nu: int = 3               # control dim (waist ref velocity)
+    # Additive cost for rollouts whose QP chain failed (large residual /
+    # non-finite objective): they stay detectable in ``info`` but never
+    # dominate the MPPI average — the batch analog of the reference's
+    # skip-actuation-on-failure (/root/reference/src/ForceAcc.cpp:189-193).
+    fail_penalty: float = 1e6
 
 
 class SamplingMPC:
@@ -71,7 +76,10 @@ class SamplingMPC:
         def one(Uk, pushk):
             return self.rollout(state, refs, warm, Uk, {"push": pushk})
 
-        costs = jax.vmap(one)(U, push)                    # (K,)
+        costs, health = jax.vmap(one)(U, push)            # (K,), dict of (K,)
+        failed = health["solver_failed"]
+        costs = jnp.where(jnp.isfinite(costs), costs, m.fail_penalty)
+        costs = costs + m.fail_penalty * failed.astype(costs.dtype)
         beta = jnp.min(costs)                             # all-reduce min
         w = jnp.exp(-(costs - beta) / m.lambda_)
         w = w / jnp.sum(w)                                # all-reduce sum
@@ -80,6 +88,10 @@ class SamplingMPC:
             "cost_min": beta,
             "cost_mean": jnp.mean(costs),
             "ess": 1.0 / jnp.sum(w ** 2),                 # effective samples
+            # per-batch solver health (SURVEY.md §5): infeasible scenarios
+            # are detectable, not silently averaged in
+            "solver_fail_frac": jnp.mean(failed.astype(costs.dtype)),
+            "prim_res_max": jnp.max(health["prim_res_max"]),
         }
         return U_new, info
 

@@ -111,7 +111,8 @@ def test_contact_switch_reanchors(quad):
     out, es = est.update(es, st.q, st.qd, st.base_rot, st.base_vel[:3],
                          lifted)
     es = dataclasses.replace(
-        es, anchors=es.anchors.at[0].add(jnp.asarray([1.0, 0.0, 0.0])))
+        es, anchors=es.anchors.at[0].add(
+            jnp.asarray([1.0, 0.0, 0.0], dtype=es.anchors.dtype)))
     out, es = est.update(es, st.q, st.qd, st.base_rot, st.base_vel[:3],
                          active)
     # after re-make, anchor 0 is consistent again -> position estimate stays

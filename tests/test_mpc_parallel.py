@@ -40,11 +40,15 @@ def test_rollout_finite_cost(setup):
     rollout = make_rollout_fn(plugin, cfg, default_cost)
     U = jnp.zeros((4, 3), jnp.float32)
     scen = {"push": jnp.zeros((4, 3), jnp.float32)}
-    c = jax.jit(rollout)(state, refs, warm, U, scen)
+    c, health = jax.jit(rollout)(state, refs, warm, U, scen)
     assert np.isfinite(float(c))
+    # solver health surfaced per rollout (SURVEY.md §5): quiet standing
+    # converges, so the worst residual over the horizon is small
+    assert not bool(health["solver_failed"])
+    assert float(health["prim_res_max"]) < 0.05
     # standing quietly should be cheap; a hard push costs more
     scen2 = {"push": 300.0 * jnp.ones((4, 3), jnp.float32)}
-    c2 = jax.jit(rollout)(state, refs, warm, U, scen2)
+    c2, _ = jax.jit(rollout)(state, refs, warm, U, scen2)
     assert float(c2) > float(c)
 
 
@@ -57,6 +61,9 @@ def test_mppi_improves_over_nominal(setup):
     assert U_new.shape == (3, 3)
     assert np.isfinite(float(info["cost_mean"]))
     assert float(info["ess"]) > 1.0
+    # batch solver health is reported (SURVEY.md §5)
+    assert float(info["solver_fail_frac"]) == 0.0
+    assert np.isfinite(float(info["prim_res_max"]))
     shifted = SamplingMPC.shift_plan(U_new)
     assert shifted.shape == U_new.shape
 
