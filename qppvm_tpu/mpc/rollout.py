@@ -27,7 +27,7 @@ from qppvm_tpu.precision import f32_matmuls
 class RolloutConfig:
     horizon: int = 16
     dt: float = 0.01
-    qp_iters: int = 20
+    qp_iters: int = 30
     # Warm-start the KKT inverse along the horizon (the carried QPState Kinv
     # re-converges by a short guarded Newton-Schulz instead of a cold
     # inversion — same strategy as the RT tick, see opt/qp.py). rho is
@@ -35,6 +35,14 @@ class RolloutConfig:
     qp_warm_kinv: bool = True
     qp_warm_kinv_iters: int = 16
     qp_rho_updates: int = 0
+    # rho carry policy for the horizon chain: gate cross-step adaptation on
+    # residual magnitude and keep a higher floor than the RT loop. Without
+    # the gate, easy warm-started steps drift rho_scale to its floor via the
+    # noise ratio sqrt(prim/dual), and the next contact transition blows up
+    # the primal residual (measured: prim 0.2 vs dual 1e-4 at a foot
+    # unloading under 30 N pushes, unrecoverable within the budget).
+    qp_rho_adapt_tol: float = 1e-3
+    qp_rho_scale_min: float = 0.1
     # Relative-primal-residual threshold above which a rollout step counts
     # as a solver failure. Deliberately looser than the 1e-3 RT-loop gate
     # (opt/hierarchy.solve_failed): rollout QPs run trimmed iteration
@@ -47,6 +55,33 @@ class RolloutConfig:
     contact_kd: float = 300.0
     mu: float = 0.8
     ground_z: float = 0.0
+
+
+def standing_state(model: RobotModel, contact_links: Sequence[str],
+                   cfg: "RolloutConfig" = None) -> RobotState:
+    """Home state shifted so the contact links stand ON the ground in static
+    equilibrium: lowest contact at ``ground_z`` plus the penetration depth at
+    which the compliant contact (kp per contact) carries the robot's weight.
+    Starting rollouts from here avoids the free-fall/impact transient of a
+    bare ``home_state()`` (the reference robot starts standing in Gazebo,
+    /root/reference/src/ForceAcc.cpp:52-55)."""
+    cfg = cfg or RolloutConfig()
+    st = model.home_state()
+    kin = kinematics.fk(model, st)
+    idx = [model.link_index(c) for c in contact_links]
+    # Pure device computation — NO host readback (float()/np.asarray):
+    # on the axon TPU tunnel a single device->host readback permanently
+    # degrades every subsequent dispatch by ~23 ms (measured), which would
+    # poison any bench that calls this helper before its timed section.
+    foot_z = jnp.min(jnp.stack([kin.p[li][2] for li in idx]))
+    mass = jnp.sum(model.inertia[:, 3, 3]) + model.base_inertia[3, 3]
+    g = jnp.linalg.norm(model.gravity)
+    pen = mass * g / (len(idx) * cfg.contact_kp)
+    shift = foot_z - cfg.ground_z + pen
+    zero = jnp.zeros((), st.base_pos.dtype)
+    return dataclasses.replace(
+        st, base_pos=st.base_pos - jnp.stack([zero, zero,
+                                              shift.astype(st.base_pos.dtype)]))
 
 
 def _contact_forces(model, kin, J_all, u, contact_idx, cfg, dtype):
@@ -122,10 +157,15 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
         sd = plugin.stack.build(model, data, state, refs, nx=plugin.opt.size,
                                 dtype=plugin.dtype)
         x, warm_new, infos = hierarchy.solve(
-            sd, warm, eps=plugin.eps, iters=cfg.qp_iters, refine=0,
+            sd, warm, eps=plugin.eps,
+            eps_abs_scale=getattr(plugin, "eps_abs_scale", 1e-8),
+            reg_diag=getattr(plugin, "reg_diag", None),
+            iters=cfg.qp_iters, refine=0,
             rho_updates=cfg.qp_rho_updates,
             assume_warm_kinv=cfg.qp_warm_kinv,
-            warm_kinv_iters=cfg.qp_warm_kinv_iters)
+            warm_kinv_iters=cfg.qp_warm_kinv_iters,
+            rho_adapt_tol=cfg.qp_rho_adapt_tol,
+            rho_scale_min=cfg.qp_rho_scale_min)
         qddot = plugin.qddot.value(x)
         tau_c = jnp.zeros(model.nv, plugin.dtype)
         for cl, w in zip(plugin.contact_links, plugin.wrenches):
@@ -143,6 +183,13 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
         QP residual / failure flag over the horizon — the batch-MPC analog
         of the reference's per-tick solve-failure signal
         (/root/reference/src/ForceAcc.cpp:189-193)."""
+        # pin everything to the plugin dtype (callers under x64 test configs
+        # would otherwise leak float64 into the scan carry)
+        dt = plugin.dtype
+        state0 = state0.astype(dt)
+        refs0 = jax.tree.map(lambda a: jnp.asarray(a, dt), refs0)
+        controls = jnp.asarray(controls, dt)
+        scenario = jax.tree.map(lambda a: jnp.asarray(a, dt), scenario)
         push = scenario["push"]  # (H, 3)
         waist_p0 = refs0["waist_task"]["p"]
         (_, _, _, _), (costs, prims, fails) = jax.lax.scan(

@@ -71,6 +71,12 @@ def solve(
     assume_warm_kinv: bool = False,
     polish_ns_iters: int = 24,
     warm_kinv_iters: int = 12,
+    rho_adapt_tol: float = 0.0,
+    rho_scale_min: float = 1e-2,
+    reg_diag: Optional[jax.Array] = None,
+    method: str = "admm",
+    pdip_iters: int = 25,
+    per_level_opts: Optional[Sequence[Optional[dict]]] = None,
 ):
     """Solve the cascade. Returns (x, warm_states, infos).
 
@@ -82,6 +88,31 @@ def solve(
     redundancy (e.g. the contact-force null space) and condition the KKT
     system WITHOUT fighting the tasks — a too-large weight makes the solver
     prefer small contact forces over supporting the robot's weight.
+
+    ``reg_diag`` (n,) scales the Tikhonov weight per decision variable.
+    Use it to pin objective-nullspace variables (e.g. the contact-wrench
+    block of a ForceAcc stack, whose distribution no task objective sees)
+    with an O(0.1) proximal weight while leaving task-determined variables
+    (qddot) nearly unregularized. The proximal center is the warm-start
+    solution, so there is no steady-state bias — but the FIRST solve of a
+    session must be seeded against zero-bias (see ForceAccPlugin.on_start's
+    two-phase seed): regularizing toward x=0 makes small contact forces
+    cheaper than supporting the robot's weight.
+
+    ``method`` selects the per-level QP backend: "admm" (warm-started
+    first-order, the 1 kHz default) or "pdip" (Mehrotra interior point,
+    opt/pdip.py) — the analog of qpOASES ``setToReliable``
+    (/root/reference/src/QPPVMPlugin.cpp:190-196). PDIP costs ~2 KKT solves
+    per iteration but is exact on heavily-saturated / sliver-feasible-set
+    QPs where first-order methods crawl (measured: all-joints-saturated
+    torque cascades, ADMM 1-10 Nm off at 300 iterations, PDIP at 1e-8).
+
+    ``per_level_opts`` overrides solver keywords for individual cascade
+    levels — the analog of ``QPOases_sot::setOptions(level, opts)`` /
+    ``PL_LOW`` (/root/reference/src/QPPVMPlugin.cpp:190-196): entry k (a
+    dict of any of this function's solver kwargs, e.g. ``{"iters": 160,
+    "method": "pdip"}``) is merged over the global options for level k;
+    ``None`` keeps the globals.
     """
     n = stack.lb.shape[0]
     dtype = stack.lb.dtype
@@ -93,17 +124,36 @@ def solve(
     new_states = []
     infos = []
 
+    global_opts = dict(eps=eps, eps_abs_scale=eps_abs_scale, iters=iters,
+                       refine=refine, rho=rho, rho_updates=rho_updates,
+                       polish_rounds=polish_rounds,
+                       assume_warm_kinv=assume_warm_kinv,
+                       polish_ns_iters=polish_ns_iters,
+                       warm_kinv_iters=warm_kinv_iters,
+                       rho_adapt_tol=rho_adapt_tol,
+                       rho_scale_min=rho_scale_min,
+                       method=method, pdip_iters=pdip_iters)
+
     for k, lv in enumerate(stack.levels):
+        opts = dict(global_opts)
+        if per_level_opts is not None and k < len(per_level_opts):
+            opts.update(per_level_opts[k] or {})
+        lvl_eps = opts.pop("eps")
+        lvl_eps_scale = opts.pop("eps_abs_scale")
+        lvl_reg_diag = opts.pop("reg_diag", reg_diag)
+
         P = lv.A.T @ lv.A
-        reg = eps * eps_abs_scale * (jnp.trace(P) / n + 1.0)
-        P = P + reg * I
+        reg = lvl_eps * lvl_eps_scale * (jnp.trace(P) / n + 1.0)
+        rvec = (reg * jnp.ones(n, dtype) if lvl_reg_diag is None
+                else reg * jnp.asarray(lvl_reg_diag, dtype))
+        P = P + jnp.diag(rvec)
         qv = -(lv.A.T @ lv.b)
         if warm is not None:
             # Regularize toward the warm-start solution, not toward zero:
             # ||x - x_prev||^2 damps tick-to-tick jitter without biasing
             # sustained solutions (e.g. gravity-supporting contact forces
             # would otherwise sag toward 0 at large eps).
-            qv = qv - reg * warm[k].x
+            qv = qv - rvec * warm[k].x
 
         rows = [stack.C, I] + locked_rows
         lo = [stack.lC, stack.lb] + locked_vals
@@ -114,12 +164,17 @@ def solve(
 
         prob = qp.QPProblem(P=P, q=qv, A=A_full, l=l_full, u=u_full)
         st = warm[k] if warm is not None else None
-        x, st_new, info = qp.solve(prob, st, iters=iters, refine=refine,
-                                   rho=rho, rho_updates=rho_updates,
-                                   polish_rounds=polish_rounds,
-                                   assume_warm_kinv=assume_warm_kinv,
-                                   polish_ns_iters=polish_ns_iters,
-                                   warm_kinv_iters=warm_kinv_iters)
+        lvl_method = opts.pop("method")
+        lvl_pdip_iters = opts.pop("pdip_iters")
+        if lvl_method == "pdip":
+            from qppvm_tpu.opt import pdip as _pdip
+            x, info = _pdip.solve(prob, iters=lvl_pdip_iters)
+            base_st = st if st is not None else qp.QPState.zero(
+                n, A_full.shape[0], dtype)
+            st_new = dataclasses.replace(
+                base_st, x=x, z=jnp.clip(A_full @ x, l_full, u_full))
+        else:
+            x, st_new, info = qp.solve(prob, st, **opts)
         new_states.append(st_new)
         infos.append(info)
 

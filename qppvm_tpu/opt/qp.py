@@ -141,6 +141,8 @@ def solve(
     assume_warm_kinv: bool = False,
     warm_kinv_iters: int = 12,
     polish_ns_iters: int = 24,
+    rho_adapt_tol: float = 0.0,
+    rho_scale_min: float = 1e-2,
 ):
     """One dense QP solve. Returns (x, new_state, info). vmap for batches."""
     P0, q0, A0, l0, u0 = (problem.P, problem.q, problem.A, problem.l,
@@ -171,8 +173,11 @@ def solve(
     # Carried rho may adapt DOWN across ticks (weak-curvature problems need
     # small rho) but never carries an increase: persistently raised rho puts
     # warm-started ADMM in its oscillatory regime. Within-solve adaptation
-    # can still raise it transiently.
-    rho_scale = (jnp.clip(state.rho_scale, 1e-2, 1.0)
+    # can still raise it transiently. ``rho_scale_min`` floors the carried
+    # value: MPC rollout chains with contact switches keep a higher floor
+    # (0.1) because a newly-active wrench bound needs O(rho) primal
+    # enforcement speed.
+    rho_scale = (jnp.clip(state.rho_scale, rho_scale_min, 1.0)
                  if state.rho_scale is not None
                  else jnp.asarray(1.0, dtype))
     Kinv_warm = state.Kinv
@@ -232,7 +237,14 @@ def solve(
 
         prim, dual = _rel_residuals(P, q, A, x, z, y)
         factor = jnp.clip(jnp.sqrt(prim / jnp.maximum(dual, 1e-12)), 0.1, 10.0)
-        rho_scale = jnp.clip(rho_scale * factor, 1e-2, 1e2)
+        # Gate the update: when BOTH residuals are already below
+        # ``rho_adapt_tol`` the ratio is warm-start noise, and repeatedly
+        # applying it drifts rho_scale to its floor across ticks — measured
+        # as a one-step primal blow-up (prim 0.2 vs dual 1e-4) at the next
+        # contact transition in pushed humanoid MPC rollouts.
+        adapt = jnp.maximum(prim, dual) > rho_adapt_tol
+        factor = jnp.where(adapt, factor, jnp.ones_like(factor))
+        rho_scale = jnp.clip(rho_scale * factor, rho_scale_min, 1e2)
 
     # --- unscale ---------------------------------------------------------
     x = d * x
@@ -256,12 +268,26 @@ def _polish(P, q, A, l, u, x, y, steps: int, eps_active: float = 1e-4,
     """Active-set polish (OSQP-style): treat near-active rows as equalities
     and solve the equality-constrained KKT system by Schur complement with
     matmul-only inverses + iterative refinement (see opt/linalg.py).
-    Shape-static: inactive rows are zeroed rather than removed."""
+    Shape-static: inactive rows are zeroed rather than removed.
+
+    Active rows are detected from BOTH primal proximity and dual sign
+    (y > 0 -> upper side, y < 0 -> lower side, OSQP convention): a
+    mid-convergence ADMM iterate can hover O(1e-2) away from a truly active
+    bound, where primal proximity alone misses it — measured as a 1-10 Nm
+    torque error on saturated WBC ticks that the dual-signed detection
+    eliminates."""
     n = P.shape[0]
     dtype = P.dtype
     Ax = A @ x
-    lo_act = (Ax - l) < eps_active * (1.0 + jnp.abs(l))
-    hi_act = (u - Ax) < eps_active * (1.0 + jnp.abs(u))
+    y_scale = jnp.max(jnp.abs(y)) + 1e-12
+    lo_act = ((Ax - l) < eps_active * (1.0 + jnp.abs(l))) | \
+        (y < -1e-6 * y_scale)
+    hi_act = ((u - Ax) < eps_active * (1.0 + jnp.abs(u))) | \
+        (y > 1e-6 * y_scale)
+    # equality rows (l == u) are always active on the "upper" side
+    eq = (u - l) < 1e-12 * (1.0 + jnp.abs(u))
+    hi_act = hi_act | eq
+    lo_act = lo_act & ~hi_act
     act = jnp.logical_or(lo_act, hi_act)
     b_act = jnp.where(hi_act, u, l)
     Aa = A * act[:, None].astype(dtype)

