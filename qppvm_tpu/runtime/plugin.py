@@ -54,6 +54,12 @@ class LoopStats:
     Xenomai deadline, SURVEY.md §2b C22)."""
 
     latencies_s: np.ndarray
+    # Reference failure semantics accounting: every solver failure is
+    # counted; under the "skip_actuation" policy each one also skips the
+    # command (holds the previous drive reference),
+    # /root/reference/src/ForceAcc.cpp:189-193.
+    solver_failures: int = 0
+    skipped_actuations: int = 0
 
     @property
     def p50_ms(self) -> float:
@@ -94,7 +100,19 @@ class ControlLoop:
         refs, warm, start_ctx = plugin.on_start(state)
         n = int(round(seconds / self.period))
         lat = np.zeros(n)
-        prev_tau = None
+        n_failures = 0
+        n_skipped = 0
+        # Failure policy, declared by the plugin (defaults to the reference's
+        # ForceAcc behavior):
+        #  - "skip_actuation": on solver failure do NOT command; the drives
+        #    hold the previously commanded reference
+        #    (/root/reference/src/ForceAcc.cpp:189-193 error-returns before
+        #    setReferenceFrom/move).
+        #  - "command": always command what the plugin produced; QPPVM zeroes
+        #    tau_qp itself and still adds h, so the commanded torque falls
+        #    back to pure gravity compensation
+        #    (/root/reference/src/QPPVMPlugin.cpp:246-256).
+        policy = getattr(plugin, "failure_policy", "skip_actuation")
         for i in range(n):
             t = i * self.period
             t0 = time.perf_counter()
@@ -107,10 +125,14 @@ class ControlLoop:
 
             failed = bool(aux.solver_failed)
             if failed:
+                n_failures += 1
                 self.log.error("SOLVER ERROR at t=%.3f", t)  # reference :248
-            robot.set_reference(tau_ref=tau, q_ref=state.q)
-            robot.move()
-            prev_tau = tau
+            if failed and policy == "skip_actuation":
+                # hold the previous command: no set_reference, no move
+                n_skipped += 1
+            else:
+                robot.set_reference(tau_ref=tau, q_ref=state.q)
+                robot.move()
 
             if self.trace is not None:
                 self.trace.add("time_matlogger", t)  # reference :322
@@ -123,4 +145,5 @@ class ControlLoop:
                 sleep = self.period - (time.perf_counter() - t0)
                 if sleep > 0:
                     time.sleep(sleep)
-        return LoopStats(latencies_s=lat)
+        return LoopStats(latencies_s=lat, solver_failures=n_failures,
+                         skipped_actuations=n_skipped)

@@ -58,6 +58,64 @@ def test_control_loop_runs_and_logs(tmp_path):
     assert np.all(d["solver_failed"] == 0.0)
 
 
+def test_failure_skip_actuation_holds_previous_command():
+    """Reference ForceAcc failure semantics: a failed solve error-returns
+    BEFORE commanding, so the drives hold the previous reference
+    (/root/reference/src/ForceAcc.cpp:189-193). Force failures mid-run and
+    assert the robot's command reference does not change on those ticks."""
+    import dataclasses as _dc
+
+    import jax.numpy as _jnp
+
+    model = zoo.arm7()
+    inner = QPPVMPlugin(model, left_ee="arm1_7", right_ee="arm1_7", iters=30)
+
+    class FailInjector:
+        """Delegates to a real plugin; flips solver_failed in a window."""
+
+        failure_policy = "skip_actuation"
+
+        def __init__(self, plugin, fail_ticks):
+            self._p = plugin
+            self._fail = set(fail_ticks)
+            self._tick = 0
+
+        def on_start(self, state):
+            return self._p.on_start(state)
+
+        def control_loop(self, state, refs, warm):
+            tau, warm, aux = self._p.control_loop(state, refs, warm)
+            if self._tick in self._fail:
+                aux = _dc.replace(
+                    aux, solver_failed=_jnp.asarray(True),
+                    tau_desired=_jnp.zeros_like(aux.tau_desired))
+                tau = _jnp.zeros_like(tau)
+            self._tick += 1
+            return tau, warm, aux
+
+    fail_window = {10, 11, 12}
+    plugin = FailInjector(inner, fail_window)
+    robot = SimRobot(model, dt=1e-3, substeps=1)
+    loop = ControlLoop(plugin, robot, period=1e-3)
+
+    commands = []
+    orig_set = robot.set_reference
+
+    def set_spy(tau_ref=None, q_ref=None):
+        commands.append(np.asarray(tau_ref).copy())
+        orig_set(tau_ref=tau_ref, q_ref=q_ref)
+
+    robot.set_reference = set_spy
+    stats = loop.run(seconds=0.03)
+
+    assert stats.solver_failures == len(fail_window)
+    assert stats.skipped_actuations == len(fail_window)
+    # one on_start + 30 ticks minus 3 skipped -> 27 commands (no zero-torque
+    # command ever reached the robot during the failure window)
+    assert len(commands) == 30 - len(fail_window)
+    assert not any(np.allclose(c, 0.0) for c in commands)
+
+
 def test_sinusoid_matches_reference_formula():
     p0 = jnp.asarray([0.5, 0.2, 0.8])
     t = 1.3
