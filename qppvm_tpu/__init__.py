@@ -4,7 +4,8 @@ A from-scratch JAX/XLA/Pallas re-design of the capability surface of
 ADVRHumanoids/qppvm (OpenSoT-style hierarchical QP whole-body control inside a
 1 kHz real-time loop), built TPU-first:
 
-- ``qppvm_tpu.model``    — rigid-body dynamics (FK, Jacobians, RNEA, CRBA, ABA)
+- ``qppvm_tpu.model``    — rigid-body dynamics (FK, Jacobians, RNEA; mass
+  matrix via batched J^T I J sums; forward dynamics via matmul-only B^-1)
   as pure, vmappable functions over static-topology robot models.
 - ``qppvm_tpu.opt``      — batched dense QP solvers (ADMM / PDIP) with fixed
   iteration counts (jit-friendly), warm start, and a hierarchical cascade that

@@ -285,6 +285,48 @@ def frame_data(model: RobotModel, data: "ModelData", name: str):
     return R, p, J, vel, bias
 
 
+def relative_frame_data(model: RobotModel, data: "ModelData",
+                        distal: str, base: str):
+    """(R_rel, p_rel, J_rel, vel_rel, bias_rel) of frame ``distal`` relative
+    to frame ``base``, expressed in the BASE frame — the non-world
+    ``base_link`` Cartesian-task kinematics (OpenSoT Cartesian tasks take a
+    base_link; the reference passes "world",
+    /root/reference/src/QPPVMPlugin.cpp:129-152, but the capability is part
+    of the surface).
+
+        R_rel = R_b^T R_d,   p_rel = R_b^T (p_d - p_b)
+        v_rel  = R_b^T (v_d - v_b - w_b x r),  w_rel = R_b^T (w_d - w_b)
+        with r = p_d - p_b; J_rel and bias_rel are the exact u-gradient and
+        Jdot*u of [v_rel; w_rel] (finite-difference-tested in
+        tests/test_dynamics.py).
+    """
+    R_d, p_d, J_d, v_d, b_d = frame_data(model, data, distal)
+    R_b, p_b, J_b, v_b, b_b = frame_data(model, data, base)
+    r = p_d - p_b
+    S_r = spatial.skew(r)
+    w_b = v_b[3:]
+    Rt = R_b.T
+
+    R_rel = Rt @ R_d
+    p_rel = Rt @ r
+
+    v_rel_w = v_d[:3] - v_b[:3] - jnp.cross(w_b, r)   # world components
+    w_rel_w = v_d[3:] - v_b[3:]
+    vel = jnp.concatenate([Rt @ v_rel_w, Rt @ w_rel_w])
+
+    J_lin_w = J_d[:3] - J_b[:3] + S_r @ J_b[3:]
+    J_ang_w = J_d[3:] - J_b[3:]
+    J_rel = jnp.concatenate([Rt @ J_lin_w, Rt @ J_ang_w], axis=0)
+
+    # d/dt with udot = 0: Rdot_b^T x = -R_b^T (w_b x x)
+    rdot = v_d[:3] - v_b[:3]
+    bias_lin = Rt @ (b_d[:3] - b_b[:3] - jnp.cross(b_b[3:], r)
+                     - jnp.cross(w_b, rdot) - jnp.cross(w_b, v_rel_w))
+    bias_ang = Rt @ (b_d[3:] - b_b[3:] - jnp.cross(w_b, w_rel_w))
+    bias = jnp.concatenate([bias_lin, bias_ang])
+    return R_rel, p_rel, J_rel, vel, bias
+
+
 def compute_model_data(model: RobotModel, state: RobotState,
                        need_binv: bool = False) -> ModelData:
     kin = kinematics.fk(model, state)

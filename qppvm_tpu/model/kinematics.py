@@ -244,6 +244,36 @@ def link_velocities(model: RobotModel, kin: KinData, state: RobotState) -> jax.A
     return jnp.einsum("nrv,v->nr", J, u)
 
 
+def com_velocity(model: RobotModel, kin: KinData, state: RobotState,
+                 vel_all: jax.Array) -> jax.Array:
+    """Measured CoM velocity (3,), world frame: the mass-weighted average of
+    per-link COM-point velocities v_i + w_i x (R_i c_i). ``vel_all`` is the
+    (nj, 6) linear-first world link-origin twist array (ModelData.vel_all).
+    Used by the force::CoM task's damping term — the D acts on a measured
+    velocity error, not on the reference velocity."""
+    m_links = model.inertia[:, 5, 5]
+    mc_local = jnp.stack(
+        [model.inertia[:, 2, 4], model.inertia[:, 0, 5],
+         model.inertia[:, 1, 3]], axis=-1)
+    c_w = jnp.einsum(
+        "nij,nj->ni", kin.R,
+        mc_local / jnp.maximum(m_links, 1e-12)[:, None])
+    v_pts = vel_all[:, :3] + jnp.cross(vel_all[:, 3:], c_w)
+    total = jnp.sum(m_links)
+    weighted = jnp.sum(m_links[:, None] * v_pts, axis=0)
+    if model.floating:
+        mb = model.base_inertia[5, 5]
+        cb_local = jnp.stack(
+            [model.base_inertia[2, 4], model.base_inertia[0, 5],
+             model.base_inertia[1, 3]]) / jnp.maximum(mb, 1e-12)
+        w_b = kin.base_R @ state.base_vel[:3]
+        v_b = kin.base_R @ state.base_vel[3:]
+        v_cb = v_b + jnp.cross(w_b, kin.base_R @ cb_local)
+        total = total + mb
+        weighted = weighted + mb * v_cb
+    return weighted / jnp.maximum(total, 1e-12)
+
+
 def bias_accelerations(model: RobotModel, kin: KinData, state: RobotState) -> jax.Array:
     """(nj, 6) classical bias acceleration Jdot*u of each link origin,
     linear-first world frame (the Jdot*qd term of acceleration Cartesian

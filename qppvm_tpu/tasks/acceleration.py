@@ -26,9 +26,8 @@ class Cartesian(Task):
                  base_link: str = "world", kp: float = 100.0,
                  kd: Optional[float] = None,
                  indices: Optional[Sequence[int]] = None):
-        if base_link != "world":
-            raise NotImplementedError("only world-frame tasks supported")
         self.name = name
+        self.base_link = base_link
         self.distal_link = distal_link
         self.qddot = qddot
         self.kp = kp
@@ -37,13 +36,26 @@ class Cartesian(Task):
             list(indices) if indices is not None else range(6), np.int32)
 
     def ref_init(self, model, data, state):
-        R, p = kinematics.link_pose(model, data.kin, self.distal_link)
+        if self.base_link != "world":
+            from qppvm_tpu.model.dynamics import relative_frame_data
+            R, p, _, _, _ = relative_frame_data(model, data,
+                                                self.distal_link,
+                                                self.base_link)
+        else:
+            R, p = kinematics.link_pose(model, data.kin, self.distal_link)
         z6 = jnp.zeros(6, p.dtype)
         return {"R": R, "p": p, "v": z6, "a": z6}
 
     def assemble(self, ctx: AssembleCtx):
-        from qppvm_tpu.model.dynamics import frame_data
-        R, p, J, v, bias = frame_data(ctx.model, ctx.data, self.distal_link)
+        from qppvm_tpu.model.dynamics import frame_data, relative_frame_data
+        if self.base_link != "world":
+            # relative task: pose/jacobian/bias of distal w.r.t. base link,
+            # expressed in the base frame (OpenSoT base_link semantics)
+            R, p, J, v, bias = relative_frame_data(
+                ctx.model, ctx.data, self.distal_link, self.base_link)
+        else:
+            R, p, J, v, bias = frame_data(ctx.model, ctx.data,
+                                          self.distal_link)
         ref = ctx.refs[self.name]
         e = spatial.pose_error(ref["R"], ref["p"], R, p)
         xdd_des = ref["a"] + self.kp * e + self.kd * (ref["v"] - v)

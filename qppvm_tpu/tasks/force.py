@@ -45,10 +45,14 @@ class CoM(Task):
         m = ctx.data.total_mass
         com = ctx.data.com_pos
         ref = ctx.refs[self.name]
-        # CoM velocity from the centroidal momentum approximation: use base +
-        # joint velocities through the CoM jacobian is costlier; the PD here
-        # servos position only by default (v term available via refs).
-        a_des = ref["a"] + self.kp * (ref["p"] - com) + self.kd * ref["v"]
+        # full PD: the D term acts on the MEASURED CoM velocity error
+        # (mass-weighted average of per-link COM-point velocities), not on
+        # the reference velocity alone.
+        from qppvm_tpu.model import kinematics as _k
+        v_com = _k.com_velocity(ctx.model, ctx.data.kin, ctx.state,
+                                ctx.data.vel_all)
+        a_des = (ref["a"] + self.kp * (ref["p"] - com)
+                 + self.kd * (ref["v"] - v_com))
         g = ctx.model.gravity.astype(ctx.dtype)
 
         lin_M = 0.0

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qppvm_tpu.model import kinematics, spatial
+from qppvm_tpu.opt import linalg
 from qppvm_tpu.tasks.base import BOX, AssembleCtx, Constraint, Task
 
 
@@ -40,9 +41,6 @@ class CartesianImpedanceCtrl(Task):
                  indices: Optional[Sequence[int]] = None,
                  stiffness=None, damping=None, use_inertia_matrix: bool = True,
                  reg: float = 1e-6):
-        if base_link != "world":
-            raise NotImplementedError("only world-frame tasks (as exercised "
-                                      "by the reference) are supported")
         self.name = name
         self.distal_link = distal_link
         self.base_link = base_link
@@ -58,25 +56,32 @@ class CartesianImpedanceCtrl(Task):
         self.Dc = jnp.asarray(Dc)
         return self
 
+    def _frame(self, model, data):
+        from qppvm_tpu.model.dynamics import frame_data, relative_frame_data
+        if self.base_link != "world":
+            # relative task expressed in the base-link frame (OpenSoT
+            # base_link semantics; the reference passes "world")
+            return relative_frame_data(model, data, self.distal_link,
+                                       self.base_link)
+        return frame_data(model, data, self.distal_link)
+
     def ref_init(self, model, data, state):
-        R, p = kinematics.link_pose(model, data.kin, self.distal_link)
+        R, p = self._frame(model, data)[:2]
         return {"R": R, "p": p, "v": jnp.zeros(6, p.dtype)}
 
     def spring_damper_force(self, ctx: AssembleCtx):
-        """F = Kc e_pose + Dc (v_ref - v) (6,), world, linear-first — the
-        getSpringForce/getDamperForce observables
+        """F = Kc e_pose + Dc (v_ref - v) (6,), task frame, linear-first —
+        the getSpringForce/getDamperForce observables
         (/root/reference/src/QPPVMPlugin.cpp:292-297)."""
         ref = ctx.refs[self.name]
-        from qppvm_tpu.model.dynamics import frame_data
-        R, p, _, v, _ = frame_data(ctx.model, ctx.data, self.distal_link)
+        R, p, _, v, _ = self._frame(ctx.model, ctx.data)
         e = spatial.pose_error(ref["R"], ref["p"], R, p)
         F_spring = self.Kc.astype(ctx.dtype) @ e
         F_damp = self.Dc.astype(ctx.dtype) @ (ref["v"] - v)
         return F_spring, F_damp
 
     def assemble(self, ctx: AssembleCtx):
-        from qppvm_tpu.model.dynamics import frame_data
-        _, _, J, _, _ = frame_data(ctx.model, ctx.data, self.distal_link)
+        J = self._frame(ctx.model, ctx.data)[2]
         if ctx.model.floating:
             J = J[:, 6:]                             # actuated columns only
         Js = J[self.indices]                         # (k, nj)
@@ -84,7 +89,10 @@ class CartesianImpedanceCtrl(Task):
             Js.shape[1], dtype=ctx.dtype)
         JW = Js @ W
         G = JW @ Js.T + self.reg * jnp.eye(len(self.indices), dtype=ctx.dtype)
-        A = jnp.linalg.solve(G, JW)                  # (k, nj) = Jbar^T
+        # G is k x k SPD (k <= 6); invert via matmul-only Newton-Schulz so
+        # this per-tick jitted path carries no LU/triangular solve (the
+        # repo-wide no-factorization rule, docs/ARCHITECTURE.md).
+        A = linalg.spd_inverse(G) @ JW               # (k, nj) = Jbar^T
         F_spring, F_damp = self.spring_damper_force(ctx)
         F = (F_spring + F_damp)[self.indices]
         w = jnp.asarray(self.weight, ctx.dtype)

@@ -206,3 +206,56 @@ def test_pose_error_roundtrip():
     # exp(log(R)) == R
     np.testing.assert_allclose(np.asarray(spatial.so3_exp(e[3:])),
                                np.asarray(R_ref), atol=1e-8)
+
+
+@pytest.mark.parametrize("name", ["quadruped", "humanoid"])
+def test_com_velocity_vs_finite_difference(name):
+    """com_velocity (the force::CoM task's measured damping signal) must be
+    the time derivative of the com position along the true kinematics."""
+    model = zoo.by_name(name)
+    state = _rand_state(model, jax.random.PRNGKey(3), moving=True)
+    kin = kinematics.fk(model, state)
+    J_all = kinematics.all_link_jacobians(model, kin)
+    u = state.u if model.floating else state.qd
+    vel_all = jnp.einsum("nrv,v->nr", J_all, u)
+    v_com = kinematics.com_velocity(model, kin, state, vel_all)
+
+    eps = 1e-7
+    st2 = dynamics.integrate(model, state, jnp.zeros(model.nv, DT), eps)
+    _, com1 = kinematics.com(model, kin)
+    _, com2 = kinematics.com(model, kinematics.fk(model, st2))
+    v_fd = (com2 - com1) / eps
+    np.testing.assert_allclose(np.asarray(v_com), np.asarray(v_fd), atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["dual_arm", "humanoid"])
+def test_relative_frame_data_vs_finite_difference(name):
+    """Non-world base_link kinematics (relative Cartesian tasks): J_rel u
+    must equal the time derivative of the relative pose, and bias_rel the
+    derivative of the relative velocity at udot = 0."""
+    model = zoo.by_name(name)
+    distal, base = ("arm1_7", "arm2_4") if name == "dual_arm" else \
+        ("l_sole", "pelvis")
+    state = _rand_state(model, jax.random.PRNGKey(5), moving=True)
+    data = dynamics.compute_model_data(model, state)
+    R0, p0, J, v0, bias = dynamics.relative_frame_data(model, data, distal,
+                                                       base)
+    u = state.u if model.floating else state.qd
+    # velocity consistency: vel == J_rel u
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(J @ u), atol=1e-10)
+
+    eps = 1e-7
+    st2 = dynamics.integrate(model, state, jnp.zeros(model.nv, DT), eps)
+    data2 = dynamics.compute_model_data(model, st2)
+    R1, p1, _, v1, _ = dynamics.relative_frame_data(model, data2, distal,
+                                                    base)
+    # linear: pdot_rel == v_rel[:3]
+    np.testing.assert_allclose(np.asarray((p1 - p0) / eps),
+                               np.asarray(v0[:3]), atol=1e-5)
+    # angular: vee(Rdot_rel R_rel^T) == v_rel[3:]
+    W = np.asarray((R1 - R0) / eps) @ np.asarray(R0).T
+    w_fd = np.array([W[2, 1], W[0, 2], W[1, 0]])
+    np.testing.assert_allclose(w_fd, np.asarray(v0[3:]), atol=1e-5)
+    # bias: d(vel_rel)/dt at udot = 0
+    np.testing.assert_allclose(np.asarray((v1 - v0) / eps),
+                               np.asarray(bias), atol=2e-5)

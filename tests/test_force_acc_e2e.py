@@ -95,6 +95,22 @@ def test_friction_cone_variant():
     assert np.all(w[:, 2] >= 10.0 - 1e-3)
 
 
+def test_drive_pd_softening_profile():
+    """The reference softens the drive PD (k/16, d/4) before handing the
+    robot to the QP (/root/reference/src/ForceAcc.cpp:33-39)."""
+    model = zoo.quadruped()
+    plugin = ForceAccPlugin(model, iters=10)
+    robot = _standing_robot(model)
+    k0 = jnp.full((model.nj,), 800.0)
+    d0 = jnp.full((model.nj,), 20.0)
+    k, d = plugin.drive_pd_profile(k0, d0)
+    np.testing.assert_allclose(np.asarray(k), 50.0)
+    np.testing.assert_allclose(np.asarray(d), 5.0)
+    robot.set_stiffness(k)
+    robot.set_damping(d)
+    np.testing.assert_allclose(np.asarray(robot.k), 50.0)
+
+
 def test_subtask_splits_built_but_unstacked():
     """The reference constructs pos/or SubTask splits of feet and waist but
     never stacks them (/root/reference/src/ForceAcc.cpp:125-129) — mirror

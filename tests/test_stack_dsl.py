@@ -92,3 +92,44 @@ def test_stack_build_shapes_and_bounds():
     # torque-limit bounds shifted by -h
     np.testing.assert_allclose(
         np.asarray(sd.ub), np.asarray(model.tau_max - data.h), rtol=1e-6)
+
+
+def test_non_world_base_link_tasks():
+    """Cartesian tasks accept a non-world base_link (OpenSoT capability;
+    the reference only exercises "world",
+    /root/reference/src/QPPVMPlugin.cpp:129-152): the task error is zero at
+    its own ref_init and the rows equal the FD-tested relative jacobian."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qppvm_tpu.model import dynamics, zoo
+    from qppvm_tpu.opt.variables import Optvar
+    from qppvm_tpu.tasks.acceleration import Cartesian
+    from qppvm_tpu.tasks.base import AssembleCtx
+    from qppvm_tpu.tasks.torque import CartesianImpedanceCtrl
+
+    model = zoo.dual_arm()
+    state = model.home_state()
+    data = dynamics.compute_model_data(model, state, need_binv=True)
+
+    opt = Optvar([("qddot", model.nv)])
+    acc = Cartesian("rel_acc", "arm1_7", opt["qddot"], base_link="arm2_4")
+    refs = {"rel_acc": acc.ref_init(model, data, state)}
+    ctx = AssembleCtx(model=model, data=data, state=state, refs=refs,
+                      nx=opt.size, dtype=jnp.float32)
+    A, b = acc.assemble(ctx)
+    J_rel = dynamics.relative_frame_data(model, data, "arm1_7", "arm2_4")[2]
+    np.testing.assert_allclose(np.asarray(A), np.asarray(J_rel), atol=1e-6)
+    # at rest with ref = current pose, desired acceleration is zero
+    np.testing.assert_allclose(np.asarray(b), 0.0, atol=1e-5)
+
+    imp = CartesianImpedanceCtrl("rel_imp", "arm1_7", base_link="arm2_4",
+                                 indices=[0, 1, 2])
+    refs2 = {"rel_imp": imp.ref_init(model, data, state)}
+    ctx2 = AssembleCtx(model=model, data=data, state=state, refs=refs2,
+                       nx=model.nj, dtype=jnp.float32)
+    A2, b2 = imp.assemble(ctx2)
+    assert A2.shape == (3, model.nj)
+    Fs, Fd = imp.spring_damper_force(ctx2)
+    np.testing.assert_allclose(np.asarray(Fs), 0.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Fd), 0.0, atol=1e-4)
