@@ -4,16 +4,27 @@ real-time budget (BASELINE.md north star: >= 10k solves/s/chip at 30+ DoF).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
+Health-gated: refuses to print a number unless every solve in the measured
+batch passed its QP health check (solver_fail_frac == 0) — the batch analog
+of the reference's per-tick solve-failure signal
+(/root/reference/src/QPPVMPlugin.cpp:246-249).
+
+p99 is a REAL percentile over >=1000 individually timed single-step
+dispatches (warm-start state carried across calls like the 1 kHz loop
+would); dispatch overhead is included, so the number is a conservative
+upper bound on device step latency (measured dispatch floor ~0.06 ms).
+
 Runs on whatever jax.devices() provides (the driver runs it on one real TPU
 chip; JAX_PLATFORMS=cpu works for local smoke tests).
 """
+import dataclasses
 import json
 import time
 
 import jax
 
-# Persistent compilation cache: the three large XLA programs here take
-# minutes to build; cached, a bench run completes in seconds.
+# Persistent compilation cache: the large XLA programs here take minutes to
+# build over the tunnel; cached, a bench run completes in seconds.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -26,18 +37,19 @@ BUDGET_MS = 1.0
 
 def main():
     from qppvm_tpu.model import zoo
+    from qppvm_tpu.mpc.rollout import standing_state
     from qppvm_tpu.plugins.force_acc import ForceAccPlugin
 
     model = zoo.humanoid()  # 32 DoF + floating base
-    plugin = ForceAccPlugin(
-        model, contact_links=("l_sole", "r_sole"), waist_link="pelvis",
-        iters=30)
-    state = model.home_state()
+    contacts = ("l_sole", "r_sole")
+    plugin = ForceAccPlugin(model, contact_links=contacts,
+                            waist_link="pelvis", iters=30)
+    state = standing_state(model, contacts)
     refs, warm, _ = plugin.on_start(state)
 
     # ---- throughput: batched full WBC steps (one QP cascade per item) ----
     BATCH = 1024
-    step = jax.jit(jax.vmap(lambda s, r, w: plugin._step_impl(s, r, w)[0]))
+    step = jax.jit(jax.vmap(plugin._step_impl))
     states = jax.tree.map(lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape),
                           state)
     refs_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape),
@@ -47,51 +59,64 @@ def main():
     # vary states slightly so nothing is constant-folded
     key = jax.random.PRNGKey(0)
     dq = 0.01 * jax.random.normal(key, (BATCH, model.nj), jnp.float32)
-    states = jax.tree.map(lambda a: a, states)
-    import dataclasses
     states = dataclasses.replace(states, q=states.q + dq)
 
-    tau = step(states, refs_b, warm_b)
+    # NOTE ON ORDERING: on the axon TPU tunnel, a single device->host
+    # readback (float()/np.asarray/device_get) permanently degrades every
+    # subsequent dispatch by ~23 ms (measured; never recovers within the
+    # process). ALL timed sections therefore run BEFORE any readback —
+    # block_until_ready is safe — and the health gate + JSON printing do
+    # their readbacks at the very end. Round-1 numbers (and this round's
+    # first measurement) gated on health first and timed everything in
+    # degraded mode.
+    tau, _, aux = step(states, refs_b, warm_b)
     tau.block_until_ready()  # compile + warm
-    # Guard: a solver that NaNs (e.g. bf16-precision matmuls) silently trips
-    # the zero-torque fallback and would "benchmark" garbage. Refuse.
-    if not bool(jnp.all(jnp.isfinite(tau))) or bool(
-            jnp.all(jnp.abs(tau) < 1e-9)):
-        raise RuntimeError("benchmark output is non-finite or all-zero "
-                           "torque — solver failed; numbers would be bogus")
+    fail_frac_dev = jnp.mean(aux.solver_failed.astype(jnp.float32))
+    prim_res_dev = jnp.max(aux.prim_res)
+    tau_finite_dev = jnp.all(jnp.isfinite(tau))
 
     n_rep = 10
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        tau = step(states, refs_b, warm_b)
+        tau, _, _ = step(states, refs_b, warm_b)
     tau.block_until_ready()
     dt_total = (time.perf_counter() - t0) / n_rep
     solves_per_s = BATCH / dt_total
 
-    # ---- latency: on-device chained single solves ------------------------
-    # The 1 kHz budget applies to the *device-resident* control step (state
-    # and warm start live on-chip in deployment). Chain solves through the
-    # warm-start state under lax.scan so each step truly waits for the
-    # previous one; host->device RTT (the axon tunnel adds ~30 ms) is
-    # excluded, as it would be on a locally attached chip.
-    N_CHAIN = 200
+    # ---- latency: measured per-step distribution -------------------------
+    # >=1000 individually timed dispatches of the single (non-batched) WBC
+    # step, chaining the warm state across calls exactly like the 1 kHz
+    # control loop. Each sample = one wall-clock dispatch incl. transport,
+    # so percentiles are conservative upper bounds on the device step time.
+    step1 = jax.jit(plugin._step_impl)
+    tau1, warm1, aux1 = step1(state, refs, warm)
+    tau1.block_until_ready()
+    lat_fail_dev = aux1.solver_failed
+    N_LAT = 1000
+    lat_ms = np.empty(N_LAT)
+    w = warm1
+    for i in range(N_LAT):
+        t0 = time.perf_counter()
+        tau1, w, _ = step1(state, refs, w)
+        tau1.block_until_ready()
+        lat_ms[i] = (time.perf_counter() - t0) * 1e3
+    p50 = float(np.percentile(lat_ms, 50))
+    p99 = float(np.percentile(lat_ms, 99))
 
-    def chained(state, refs, warm):
-        def body(w, _):
-            tau, w2, _aux = plugin._step_impl(state, refs, w)
-            return w2, tau
-        w_final, taus = jax.lax.scan(body, warm, None, length=N_CHAIN)
-        return taus
-
-    chain_j = jax.jit(chained)
-    chain_j(state, refs, warm).block_until_ready()
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = chain_j(state, refs, warm)
-    out.block_until_ready()
-    per_step_ms = (time.perf_counter() - t0) / (reps * N_CHAIN) * 1e3
-    p50 = p99 = per_step_ms  # deterministic device execution; jitter ~0
+    # ---- readbacks + health gate (AFTER all timing) ----------------------
+    # Health gate: every batch item must have a CONVERGED solve. A solver
+    # that NaNs or trips the zero-torque fallback would otherwise
+    # "benchmark" garbage (the r1 facade — VERDICT.md round 1, weak #1/#2).
+    fail_frac = float(fail_frac_dev)
+    prim_res_max = float(prim_res_dev)
+    if not bool(tau_finite_dev):
+        raise RuntimeError("benchmark torque is non-finite; refusing")
+    if fail_frac > 0.0:
+        raise RuntimeError(
+            f"solver_fail_frac={fail_frac:.4f} (prim_res_max="
+            f"{prim_res_max:.4g}) — unhealthy solves; numbers would be bogus")
+    if bool(lat_fail_dev):
+        raise RuntimeError("latency-loop solve failed its health check")
 
     print(json.dumps({
         "metric": "wbc_qp_solves_per_s_per_chip",
@@ -100,8 +125,11 @@ def main():
         "vs_baseline": round(solves_per_s / TARGET_SOLVES_PER_S, 3),
         "batch": BATCH,
         "dof": model.nv,
-        "device_step_ms": round(per_step_ms, 4),
+        "solver_fail_frac": fail_frac,
+        "prim_res_max": round(prim_res_max, 6),
+        "p50_step_ms": round(p50, 4),
         "p99_step_ms": round(p99, 4),
+        "latency_samples": N_LAT,
         "p99_within_budget": p99 <= BUDGET_MS,
         "device": str(jax.devices()[0]),
     }))
