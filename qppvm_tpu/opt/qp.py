@@ -187,15 +187,28 @@ def solve(
         """NS iteration hot-started from ``X_guess``, guarded by the
         contraction bound sqrt(||E||_1 ||E||_inf) < 0.9 (a max-entry check
         is NOT a norm bound and let divergent warm starts through); falls
-        back to the cold ||K||_1 init, and never returns non-finite."""
+        back to a cold init, and never returns non-finite.
+
+        The cold fallback is the JACOBI-PRESCALED init expressed in the
+        original space: NS is equivariant under X0 -> D X0s D with
+        K -> D^-1 Ks D^-1, so X0 = D^2 / ||D K D||_1 runs the exact
+        prescaled iteration without leaving this scan. A plain
+        I / ||K||_1 init needs ~log2(cond(K)) doublings — on mixed-unit
+        WBC KKT matrices that exceeds short budgets and a single guard
+        rejection then poisons the whole warm chain with a ~90%-wrong
+        torque that PRIMAL health cannot see (measured)."""
         I_n = jnp.eye(n, dtype=dtype)
         E = I_n - X_guess @ K
         absE = jnp.abs(E)
         err = jnp.sqrt(jnp.max(jnp.sum(absE, axis=0)) *
                        jnp.max(jnp.sum(absE, axis=1)))
         err = jnp.where(jnp.isfinite(err), err, jnp.asarray(2.0, dtype))
-        cold = I_n * (1.0 / jnp.maximum(
-            jnp.max(jnp.sum(jnp.abs(K), axis=0)), 1e-30))
+        dg = jnp.einsum("ii->i", K)
+        dinv = 1.0 / jnp.maximum(dg, 1e-30)               # D^2 diagonal
+        Ks_norm1 = jnp.max(jnp.sum(
+            jnp.abs(K) * jnp.sqrt(dinv)[:, None] * jnp.sqrt(dinv)[None, :],
+            axis=0))
+        cold = jnp.diag(dinv / jnp.maximum(Ks_norm1, 1e-30))
         X0 = jnp.where(err < 0.9, X_guess, cold)
 
         def ns_body(X, _):
