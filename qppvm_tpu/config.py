@@ -37,10 +37,18 @@ class RobotConfig:
 @dataclasses.dataclass
 class SolverConfig:
     """Hierarchical-QP options (the eps knob mirrors
-    /root/reference/src/QPPVMPlugin.cpp:188 and ForceAcc.cpp:135-137)."""
+    /root/reference/src/QPPVMPlugin.cpp:188 and ForceAcc.cpp:135-137).
+
+    ``opts`` passes through to the plugin's solver_opts — any
+    hierarchy.solve keyword, e.g. {"rho_updates": 0} (fast RT profile,
+    closed-loop-validated), {"method": "pdip"} (reliable profile, the
+    qpOASES setToReliable analog), or {"per_level_opts": [...]}
+    (QPOases_sot::setOptions(level, ...) analog,
+    /root/reference/src/QPPVMPlugin.cpp:190-196)."""
 
     eps: float = 1.0
     iters: int = 100
+    opts: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -173,7 +181,8 @@ def build_plugin(cfg: ScenarioConfig, model):
             model, left_ee=p.left_ee, right_ee=p.right_ee,
             cart_stiffness=p.cart_stiffness, cart_damping=p.cart_damping,
             joint_stiffness=p.joint_stiffness, joint_damping=p.joint_damping,
-            eps=s.eps, iters=s.iters, sine_ref=p.sine_ref, **p.extra)
+            eps=s.eps, iters=s.iters, sine_ref=p.sine_ref,
+            solver_opts=dict(s.opts) or None, **p.extra)
     if p.type == "force_acc":
         from qppvm_tpu.plugins.force_acc import ForceAccPlugin
         return ForceAccPlugin(
@@ -182,7 +191,8 @@ def build_plugin(cfg: ScenarioConfig, model):
             use_friction_cones=p.use_friction_cones, mu=p.mu,
             wrench_dim=p.wrench_dim,
             switchable_contacts=p.switchable_contacts,
-            waist_kp=p.waist_kp, postural_kp=p.postural_kp, **p.extra)
+            waist_kp=p.waist_kp, postural_kp=p.postural_kp,
+            solver_opts=dict(s.opts) or None, **p.extra)
     raise ValueError(f"unknown plugin type {p.type!r}")
 
 

@@ -92,3 +92,24 @@ def test_roundtrip_dict():
     cfg2 = cfgmod.ScenarioConfig.from_dict(d)
     assert cfg2.plugin.wrench_dim == 6
     assert cfg2.plugin.switchable_contacts
+
+
+def test_solver_opts_passthrough():
+    """SolverConfig.opts flows into the plugin's solver profile (the config
+    analog of QPOases_sot::setOptions,
+    /root/reference/src/QPPVMPlugin.cpp:190-196)."""
+    from qppvm_tpu.config import ScenarioConfig, build_model, build_plugin
+
+    cfg = ScenarioConfig.from_dict({
+        "robot": {"zoo": "arm7"},
+        "plugin": {"type": "qppvm", "left_ee": "arm1_7",
+                   "right_ee": "arm1_7"},
+        "solver": {"eps": 1.0, "iters": 40,
+                   "opts": {"rho_updates": 0, "method": "pdip",
+                            "pdip_iters": 30}},
+    })
+    model = build_model(cfg)
+    plugin = build_plugin(cfg, model)
+    assert plugin.solver_opts["rho_updates"] == 0
+    assert plugin.solver_opts["method"] == "pdip"
+    assert plugin.solver_opts["pdip_iters"] == 30
