@@ -36,19 +36,33 @@ BUDGET_MS = 1.0
 
 
 def main():
+    import argparse
+
     from qppvm_tpu.model import zoo
     from qppvm_tpu.mpc.rollout import standing_state
     from qppvm_tpu.plugins.force_acc import ForceAccPlugin
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    args = ap.parse_args()
+
     model = zoo.humanoid()  # 32 DoF + floating base
     contacts = ("l_sole", "r_sole")
+    # fast RT profile (rho_updates=0: single ADMM chunk, no per-tick cold NS
+    # rebuild; warm_kinv_iters=16 covers the prescaled-cold fallback) —
+    # closed-loop validated for this flat-contact stack by
+    # tools/validate_rt_profile.py --profile fast (500-tick stand,
+    # 0 failures, base drift < 1 mm). Friction-cone/6D-wrench deployments
+    # keep rho_updates=1 (see plugins/force_acc.py).
     plugin = ForceAccPlugin(model, contact_links=contacts,
-                            waist_link="pelvis", iters=30)
+                            waist_link="pelvis", iters=30,
+                            solver_opts=dict(rho_updates=0,
+                                             warm_kinv_iters=16))
     state = standing_state(model, contacts)
     refs, warm, _ = plugin.on_start(state)
 
     # ---- throughput: batched full WBC steps (one QP cascade per item) ----
-    BATCH = 1024
+    BATCH = args.batch
     step = jax.jit(jax.vmap(plugin._step_impl))
     states = jax.tree.map(lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape),
                           state)

@@ -27,14 +27,24 @@ def main():
     from qppvm_tpu.model import zoo
     from qppvm_tpu.plugins.force_acc import ForceAccPlugin
 
+    from qppvm_tpu.mpc.rollout import standing_state
+
     model = zoo.humanoid()
-    plugin = ForceAccPlugin(model, contact_links=("l_sole", "r_sole"),
-                            waist_link="pelvis", iters=30)
-    state = model.home_state()
+    contacts = ("l_sole", "r_sole")
+    # same fast RT profile as bench.py (closed-loop validated for this
+    # flat-contact stack)
+    plugin = ForceAccPlugin(model, contact_links=contacts,
+                            waist_link="pelvis", iters=30,
+                            solver_opts=dict(rho_updates=0,
+                                             warm_kinv_iters=16))
+    state = standing_state(model, contacts)
     refs, warm, _ = plugin.on_start(state)
 
+    # All timing BEFORE any device->host readback (the axon tunnel's
+    # readback penalty poisons every later dispatch — see bench.py).
+    results = []
+    step = jax.jit(jax.vmap(plugin._step_impl))
     for batch in [int(b) for b in args.batches.split(",")]:
-        step = jax.jit(jax.vmap(lambda s, r, w: plugin._step_impl(s, r, w)[0]))
         states = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (batch,) + a.shape), state)
         refs_b = jax.tree.map(
@@ -44,19 +54,24 @@ def main():
         dq = 0.01 * jax.random.normal(jax.random.PRNGKey(0),
                                       (batch, model.nj), jnp.float32)
         states = dataclasses.replace(states, q=states.q + dq)
-        tau = step(states, refs_b, warm_b)
+        tau, _, aux = step(states, refs_b, warm_b)
         tau.block_until_ready()
-        if not bool(jnp.all(jnp.isfinite(tau))):
-            raise RuntimeError("non-finite torque at batch %d" % batch)
-        n_rep = 10
+        fail_dev = jnp.mean(aux.solver_failed.astype(jnp.float32))
+        n_rep = 50
         t0 = time.perf_counter()
         for _ in range(n_rep):
-            tau = step(states, refs_b, warm_b)
+            tau, _, _ = step(states, refs_b, warm_b)
         tau.block_until_ready()
         dt = (time.perf_counter() - t0) / n_rep
+        results.append((batch, dt, fail_dev))
+    for batch, dt, fail_dev in results:  # readbacks after ALL timing
+        fail = float(fail_dev)
+        if fail > 0.0:
+            raise RuntimeError(f"fail_frac={fail} at batch {batch}")
         print(json.dumps({"batch": batch,
                           "solves_per_s": round(batch / dt, 1),
-                          "ms_per_batch": round(dt * 1e3, 2)}), flush=True)
+                          "ms_per_batch": round(dt * 1e3, 2),
+                          "solver_fail_frac": fail}), flush=True)
 
 
 if __name__ == "__main__":
