@@ -42,6 +42,10 @@ class StackData:
     uC: jax.Array  # (mc,)
     lb: jax.Array  # (n,) box bounds on x (torque limits etc.)
     ub: jax.Array  # (n,)
+    # STATIC: the first n_eq rows of C are structural equalities (e.g.
+    # DynamicFeasibility) — the solver eliminates them by projection
+    # instead of penalizing them (see opt/qp.py n_eq_head).
+    n_eq: int = dataclasses.field(metadata=dict(static=True), default=0)
 
 
 def warm_start_init(stack: StackData) -> Tuple[qp.QPState, ...]:
@@ -77,6 +81,7 @@ def solve(
     method: str = "admm",
     pdip_iters: int = 25,
     per_level_opts: Optional[Sequence[Optional[dict]]] = None,
+    eq_elim: bool = True,
 ):
     """Solve the cascade. Returns (x, warm_states, infos).
 
@@ -107,6 +112,13 @@ def solve(
     QPs where first-order methods crawl (measured: all-joints-saturated
     torque cascades, ADMM 1-10 Nm off at 300 iterations, PDIP at 1e-8).
 
+    ``eq_elim`` (static): eliminate structural equalities (the stack's
+    leading ``n_eq`` constraint rows, e.g. DynamicFeasibility, plus the
+    cascade's equality locks) by nullspace projection inside the ADMM
+    backend (opt/qp.py ``n_eq_head``/``n_eq_tail``) instead of penalizing
+    them with a boosted rho. Exact locks — closer to qpOASES cascade
+    semantics — and an orders-of-magnitude better-conditioned ADMM matrix.
+
     ``per_level_opts`` overrides solver keywords for individual cascade
     levels — the analog of ``QPOases_sot::setOptions(level, opts)`` /
     ``PL_LOW`` (/root/reference/src/QPPVMPlugin.cpp:190-196): entry k (a
@@ -132,7 +144,8 @@ def solve(
                        warm_kinv_iters=warm_kinv_iters,
                        rho_adapt_tol=rho_adapt_tol,
                        rho_scale_min=rho_scale_min,
-                       method=method, pdip_iters=pdip_iters)
+                       method=method, pdip_iters=pdip_iters,
+                       eq_elim=eq_elim)
 
     for k, lv in enumerate(stack.levels):
         opts = dict(global_opts)
@@ -166,6 +179,12 @@ def solve(
         st = warm[k] if warm is not None else None
         lvl_method = opts.pop("method")
         lvl_pdip_iters = opts.pop("pdip_iters")
+        lvl_eq_elim = opts.pop("eq_elim")
+        if lvl_eq_elim and lvl_method != "pdip":
+            # row order is [C; I(box); locked...]: the stack's structural
+            # equalities lead C, the cascade's equality locks trail.
+            opts["n_eq_head"] = stack.n_eq
+            opts["n_eq_tail"] = sum(r.shape[0] for r in locked_rows)
         if lvl_method == "pdip":
             from qppvm_tpu.opt import pdip as _pdip
             x, info = _pdip.solve(prob, iters=lvl_pdip_iters)

@@ -80,8 +80,16 @@ class AutoStack:
         big = jnp.asarray(1e20, dtype)
         lb = jnp.full((nx,), -big, dtype)
         ub = jnp.full((nx,), big, dtype)
+        # ROWS constraints are assembled equality-first (stable order within
+        # each group): the solver eliminates the leading ``n_eq`` structural
+        # equality rows by projection (opt/qp.py n_eq_head). Gated
+        # constraints that become equalities only at runtime (contact
+        # switches) stay in the inequality block.
         C_rows, lC_rows, uC_rows = [], [], []
-        for c in self.constraints:
+        n_eq = 0
+        ordered = ([c for c in self.constraints if c.is_equality]
+                   + [c for c in self.constraints if not c.is_equality])
+        for c in ordered:
             kind, C, lo, hi = c.assemble(ctx)
             if kind == BOX:
                 lb = jnp.maximum(lb, lo.astype(dtype))
@@ -90,6 +98,8 @@ class AutoStack:
                 C_rows.append(C.astype(dtype))
                 lC_rows.append(lo.astype(dtype))
                 uC_rows.append(hi.astype(dtype))
+                if c.is_equality:
+                    n_eq += C.shape[0]
             else:
                 raise ValueError(f"unknown constraint kind {kind}")
         if C_rows:
@@ -101,7 +111,7 @@ class AutoStack:
             lC = jnp.zeros((0,), dtype)
             uC = jnp.zeros((0,), dtype)
         return hierarchy.StackData(levels=tuple(levels), C=C, lC=lC, uC=uC,
-                                   lb=lb, ub=ub)
+                                   lb=lb, ub=ub, n_eq=n_eq)
 
     def log(self, trace, stack_data: hierarchy.StackData,
             x=None, infos=None) -> None:

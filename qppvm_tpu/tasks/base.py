@@ -128,9 +128,16 @@ ROWS = "rows"
 
 
 class Constraint:
-    """Base constraint; emits (kind, C_or_None, lb, ub)."""
+    """Base constraint; emits (kind, C_or_None, lb, ub).
+
+    ``is_equality`` (static): True for constraints whose rows are ALWAYS
+    equalities (l == u by construction, e.g. DynamicFeasibility) — the
+    stack builder orders them first and the solver eliminates them by
+    projection (opt/qp.py). Gate-driven runtime equalities stay False.
+    """
 
     name: str = "constraint"
+    is_equality: bool = False
 
     def assemble(self, ctx: AssembleCtx):
         raise NotImplementedError

@@ -56,6 +56,8 @@ class DynamicFeasibility(Constraint):
     contact, world frame) or 6-vectors (full wrench, linear-first).
     """
 
+    is_equality = True  # eliminated by projection (opt/qp.py n_eq_head)
+
     def __init__(self, name: str, qddot: AffineExpr,
                  wrenches: Sequence[AffineExpr],
                  contact_links: Sequence[str]):

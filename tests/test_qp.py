@@ -192,3 +192,80 @@ def test_infeasible_detected():
     )
     x, _, infos = hierarchy.solve(stack, iters=100, refine=0)
     assert bool(hierarchy.solve_failed(infos))
+
+
+# ---------------------------------------------------------------------------
+# equality elimination (opt/qp.py n_eq_head / n_eq_tail)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", range(3))
+def test_eq_elim_matches_oracle(seed):
+    """Structural-equality elimination (head rows) must match the oracle and
+    satisfy the equalities to near machine precision — tighter than the
+    rho-boost path it replaces."""
+    prob = _random_qp(jax.random.PRNGKey(100 + seed), eq_rows=3)
+    x, _, info = qp.solve(prob, iters=200, refine=3, n_eq_head=3)
+    x_ref, f_ref = _oracle(prob)
+    np.testing.assert_allclose(np.asarray(x), x_ref, atol=5e-4)
+    Ax = np.asarray(prob.A @ x)
+    np.testing.assert_allclose(Ax[:3], np.asarray(prob.l[:3]), atol=1e-7)
+    assert float(info.obj) <= f_ref + 1e-5 * (1 + abs(f_ref))
+
+
+def test_eq_elim_tail_rows():
+    """Tail equality block (the cascade's locked rows live at the END of A)."""
+    prob = _random_qp(jax.random.PRNGKey(4), eq_rows=2)
+    # move the 2 equality rows to the tail
+    perm = jnp.concatenate([jnp.arange(2, 8), jnp.arange(2)])
+    prob_t = qp.QPProblem(P=prob.P, q=prob.q, A=prob.A[perm],
+                          l=prob.l[perm], u=prob.u[perm])
+    x_h, _, _ = qp.solve(prob, iters=200, refine=3, n_eq_head=2)
+    x_t, _, _ = qp.solve(prob_t, iters=200, refine=3, n_eq_tail=2)
+    np.testing.assert_allclose(np.asarray(x_t), np.asarray(x_h), atol=1e-6)
+
+
+def test_eq_elim_warm_start_and_vmap():
+    """Warm-started re-solve converges instantly; vmap works with the
+    static eq args."""
+    from functools import partial
+    prob = _random_qp(jax.random.PRNGKey(5), eq_rows=3)
+    x, state, _ = qp.solve(prob, iters=300, refine=3, n_eq_head=3)
+    x2, _, info2 = qp.solve(prob, state, iters=5, refine=1, n_eq_head=3)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-6)
+    assert float(info2.prim_res) < 1e-6
+
+    keys = jax.random.split(jax.random.PRNGKey(6), 8)
+    probs = jax.vmap(partial(_random_qp, eq_rows=3))(keys)
+    xs, _, infos = jax.vmap(
+        lambda p: qp.solve(p, iters=200, refine=2, n_eq_head=3))(probs)
+    assert np.all(np.asarray(infos.prim_res) < 1e-5)
+    x3, _, _ = qp.solve(jax.tree.map(lambda a: a[3], probs), iters=200,
+                        refine=2, n_eq_head=3)
+    np.testing.assert_allclose(np.asarray(xs[3]), np.asarray(x3), atol=1e-8)
+
+
+def test_eq_elim_redundant_equalities():
+    """Duplicated equality rows (rank-deficient E) must not break the Gram
+    inverse — the delta shift turns the lock into least-squares."""
+    prob = _random_qp(jax.random.PRNGKey(8), eq_rows=2)
+    A = jnp.concatenate([prob.A[:2], prob.A], axis=0)  # duplicate eq rows
+    l = jnp.concatenate([prob.l[:2], prob.l])
+    u = jnp.concatenate([prob.u[:2], prob.u])
+    prob_r = qp.QPProblem(P=prob.P, q=prob.q, A=A, l=l, u=u)
+    x_r, _, _ = qp.solve(prob_r, iters=200, refine=3, n_eq_head=4)
+    x_h, _, _ = qp.solve(prob, iters=200, refine=3, n_eq_head=2)
+    np.testing.assert_allclose(np.asarray(x_r), np.asarray(x_h), atol=1e-5)
+
+
+def test_eq_elim_runtime_gated_equality_stays_inequality_block():
+    """A row whose l == u only at RUNTIME (contact-switch gate) sits in the
+    inequality block; the rho boost there still enforces it."""
+    prob = _random_qp(jax.random.PRNGKey(12), eq_rows=3)
+    # rows 0..2 structurally eliminated; make row 3 a runtime equality
+    l = prob.l.at[3].set(prob.u[3])
+    prob_g = qp.QPProblem(P=prob.P, q=prob.q, A=prob.A, l=l, u=prob.u)
+    x, _, _ = qp.solve(prob_g, iters=300, refine=3, n_eq_head=3)
+    Ax = np.asarray(prob_g.A @ x)
+    np.testing.assert_allclose(Ax[3], float(prob_g.u[3]), atol=1e-5)
+    x_ref, _ = _oracle(prob_g)
+    np.testing.assert_allclose(np.asarray(x), x_ref, atol=5e-4)

@@ -56,6 +56,31 @@ CONFIGS = {
                                precision="high"),
     "i30_nopolish_ru0_px6": dict(iters=30, solver_opts=dict(
         polish_rounds=0, rho_updates=0), precision="BF16_BF16_F32_X6"),
+    # --- equality-elimination era (opt/qp.py n_eq_*): the projected ADMM
+    # matrix is ~100-10000x better conditioned, so the NS inversion budget
+    # (warm_kinv_iters) and possibly the ADMM iteration count shrink.
+    "eq_i30_ru0_w16": dict(iters=30, solver_opts=dict(
+        polish_rounds=0, rho_updates=0, warm_kinv_iters=16)),
+    "eq_i30_ru0_w8": dict(iters=30, solver_opts=dict(
+        polish_rounds=0, rho_updates=0, warm_kinv_iters=8)),
+    "eq_i30_ru0_w6": dict(iters=30, solver_opts=dict(
+        polish_rounds=0, rho_updates=0, warm_kinv_iters=6)),
+    "eq_i30_ru0_w4": dict(iters=30, solver_opts=dict(
+        polish_rounds=0, rho_updates=0, warm_kinv_iters=4)),
+    "eq_i20_ru0_w6": dict(iters=20, solver_opts=dict(
+        polish_rounds=0, rho_updates=0, warm_kinv_iters=6)),
+    "eq_i16_ru0_w6": dict(iters=16, solver_opts=dict(
+        polish_rounds=0, rho_updates=0, warm_kinv_iters=6)),
+    "noeq_i30_ru0_w16": dict(iters=30, solver_opts=dict(
+        polish_rounds=0, rho_updates=0, warm_kinv_iters=16, eq_elim=False)),
+    "eq2_i16_ru0_w4": dict(iters=16, solver_opts=dict(
+        polish_rounds=0, rho_updates=0, warm_kinv_iters=4)),
+    "eq2_i12_ru0_w4": dict(iters=12, solver_opts=dict(
+        polish_rounds=0, rho_updates=0, warm_kinv_iters=4)),
+    "eq2_i10_ru0_w4": dict(iters=10, solver_opts=dict(
+        polish_rounds=0, rho_updates=0, warm_kinv_iters=4)),
+    "eq2_i8_ru0_w3": dict(iters=8, solver_opts=dict(
+        polish_rounds=0, rho_updates=0, warm_kinv_iters=3)),
 }
 
 

@@ -42,6 +42,10 @@ PROFILES = {
     "default": dict(rho_updates=1),
     "fast": dict(rho_updates=0),
     "fast_w8": dict(rho_updates=0, warm_kinv_iters=8),
+    # equality-elimination era (opt/qp.py n_eq_*): trimmed NS + ADMM budgets
+    "eq_w6": dict(rho_updates=0, warm_kinv_iters=6),       # pair w/ --iters 16
+    "eq_w4": dict(rho_updates=0, warm_kinv_iters=4),       # pair w/ --iters 10-12
+    "eq_w3": dict(rho_updates=0, warm_kinv_iters=3),       # pair w/ --iters 8
 }
 
 
