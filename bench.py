@@ -48,16 +48,17 @@ def main():
 
     model = zoo.humanoid()  # 32 DoF + floating base
     contacts = ("l_sole", "r_sole")
-    # fast RT profile (rho_updates=0: single ADMM chunk, no per-tick cold NS
-    # rebuild; warm_kinv_iters=16 covers the prescaled-cold fallback) —
-    # closed-loop validated for this flat-contact stack by
-    # tools/validate_rt_profile.py --profile fast (500-tick stand,
-    # 0 failures, base drift < 1 mm). Friction-cone/6D-wrench deployments
-    # keep rho_updates=1 (see plugins/force_acc.py).
+    # fast RT profile, equality-elimination era: the projected ADMM matrix
+    # (opt/qp.py n_eq_*) is ~5-conditioned, so 12 ADMM iterations + a
+    # 4-iteration warm NS re-converge the KKT inverse every tick.
+    # Closed-loop validated by tools/validate_rt_profile.py --profile eq_w4
+    # --iters 12 (500-tick stand, 0 failures, base drift -3.9 mm,
+    # max prim res 5.2e-7); the cones/6D stack also validates on this
+    # rho_updates=0 profile post-elimination.
     plugin = ForceAccPlugin(model, contact_links=contacts,
-                            waist_link="pelvis", iters=30,
+                            waist_link="pelvis", iters=12,
                             solver_opts=dict(rho_updates=0,
-                                             warm_kinv_iters=16))
+                                             warm_kinv_iters=4))
     state = standing_state(model, contacts)
     refs, warm, _ = plugin.on_start(state)
 
@@ -140,7 +141,7 @@ def main():
         "batch": BATCH,
         "dof": model.nv,
         "solver_fail_frac": fail_frac,
-        "prim_res_max": round(prim_res_max, 6),
+        "prim_res_max": float(f"{prim_res_max:.3g}"),
         "p50_step_ms": round(p50, 4),
         "p99_step_ms": round(p99, 4),
         "latency_samples": N_LAT,

@@ -32,11 +32,11 @@ def main():
     model = zoo.humanoid()
     contacts = ("l_sole", "r_sole")
     # same fast RT profile as bench.py (closed-loop validated for this
-    # flat-contact stack)
+    # flat-contact stack; equality-elimination era — see opt/qp.py n_eq_*)
     plugin = ForceAccPlugin(model, contact_links=contacts,
-                            waist_link="pelvis", iters=30,
+                            waist_link="pelvis", iters=12,
                             solver_opts=dict(rho_updates=0,
-                                             warm_kinv_iters=16))
+                                             warm_kinv_iters=4))
     state = standing_state(model, contacts)
     refs, warm, _ = plugin.on_start(state)
 

@@ -91,7 +91,7 @@ def main():
         "horizon": args.horizon,
         "qp_iters": args.qp_iters,
         "solver_fail_frac": fail_frac,
-        "prim_res_max": round(float(info["prim_res_max"]), 6),
+        "prim_res_max": float(f"{float(info['prim_res_max']):.3g}"),
         "cost_mean": float(info["cost_mean"]),
         "ess": round(float(info["ess"]), 1),
         "device": str(jax.devices()[0]),

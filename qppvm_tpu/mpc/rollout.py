@@ -33,7 +33,12 @@ class RolloutConfig:
     # inversion — same strategy as the RT tick, see opt/qp.py). rho is
     # adapted across steps (rho_updates=0), not inside each solve.
     qp_warm_kinv: bool = True
-    qp_warm_kinv_iters: int = 16
+    # 8 warm-NS iterations: with structural equalities eliminated
+    # (opt/qp.py n_eq_*) the carried inverse passes the contraction guard
+    # along the horizon (guard err ~0.2 at 1% KKT drift vs ~250 before),
+    # so the short warm budget actually re-converges instead of falling
+    # back to an under-converged cold init.
+    qp_warm_kinv_iters: int = 8
     qp_rho_updates: int = 0
     # rho carry policy for the horizon chain: gate cross-step adaptation on
     # residual magnitude and keep a higher floor than the RT loop. Without

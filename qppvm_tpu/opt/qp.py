@@ -153,6 +153,7 @@ def solve(
     n_eq_head: int = 0,
     n_eq_tail: int = 0,
     eq_pin: float = 1.0,
+    cold_ns_iters: Optional[int] = None,
 ):
     """One dense QP solve. Returns (x, new_state, info). vmap for batches.
 
@@ -313,7 +314,13 @@ def solve(
             # sinking 16 cm in closed loop. They pay the full cold NS.
             Kinv = _ns_warm(K, Kinv_warm, warm_kinv_iters)
         else:
-            Kinv = linalg.spd_inverse(K, method=inv_method)
+            # ``cold_ns_iters`` trims the cold inversion budget where the
+            # KKT matrix is known well-conditioned (equality-eliminated
+            # stacks: cond ~5 needs ~7 iterations, not the safe default 24).
+            kw = ({"iters": cold_ns_iters}
+                  if (cold_ns_iters is not None and inv_method == "ns")
+                  else {})
+            Kinv = linalg.spd_inverse(K, method=inv_method, **kw)
 
         def body(carry, _):
             x, z, y = carry

@@ -114,9 +114,17 @@ class ForceAccPlugin:
         # rollout chain (see opt/qp.py and mpc/rollout.py) — gate cross-tick
         # adaptation on residual magnitude so converged ticks don't drift
         # rho to its floor and blow up the next contact transition.
+        # warm_kinv_iters=8: with structural equalities eliminated
+        # (opt/qp.py n_eq_*) the ADMM matrix is ~5-conditioned and the
+        # carried KKT inverse passes the NS contraction guard at realistic
+        # tick-to-tick drift, so 8 warm iterations cover both the warm path
+        # and the prescaled cold fallback. The fast RT profile
+        # (rho_updates=0, iters=12, warm_kinv_iters=4) is closed-loop
+        # validated for flat-contact AND cones/6D stacks
+        # (tools/validate_rt_profile.py).
         self.solver_opts = dict(refine=2, rho_updates=1, polish_rounds=0,
                                 assume_warm_kinv=True, polish_ns_iters=16,
-                                warm_kinv_iters=12,
+                                warm_kinv_iters=8,
                                 rho_adapt_tol=1e-3, rho_scale_min=0.1,
                                 eps_abs_scale=self.eps_abs_scale)
         self.solver_opts.update(solver_opts or {})
