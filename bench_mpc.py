@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--samples", type=int, default=512)
     ap.add_argument("--horizon", type=int, default=8)
     ap.add_argument("--robot", default="humanoid")
-    ap.add_argument("--qp-iters", type=int, default=20)
+    ap.add_argument("--qp-iters", type=int, default=12)  # saturating: see docs/BENCHMARKS.md MPC sweep
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:

@@ -195,6 +195,26 @@ def biped() -> RobotModel:
     return b.finish()
 
 
+def centaur() -> RobotModel:
+    """Floating-base centaur — the reference's actual Centauro morphology
+    in one model: quadruped base with contact feet named exactly as
+    /root/reference/src/ForceAcc.cpp:58 (``foot_fl/fr/hr/hl``) plus the
+    torso + two 7-DoF arms whose end-effectors carry the reference's QPPVM
+    names ``arm1_7``/``arm2_7`` (/root/reference/src/QPPVMPlugin.cpp:129-152).
+    27 joints + floating base = 33 generalized DoF."""
+    b = _Builder(root_name="pelvis", floating=True, base_mass=25.0,
+                 base_size=(0.6, 0.4, 0.2))
+    _add_leg3(b, "fl", -1, (0.3, 0.2, -0.05), "foot_fl")
+    _add_leg3(b, "fr", -1, (0.3, -0.2, -0.05), "foot_fr")
+    _add_leg3(b, "hr", -1, (-0.3, -0.2, -0.05), "foot_hr")
+    _add_leg3(b, "hl", -1, (-0.3, 0.2, -0.05), "foot_hl")
+    torso = b.add("torso_yaw", -1, (0, 0, 1), (0.2, 0.0, 0.1), 10.0, 0.3,
+                  link_name="torso", tau=200.0)
+    _add_arm7(b, "arm1", torso, (0.0, 0.25, 0.25), mirror=1.0)
+    _add_arm7(b, "arm2", torso, (0.0, -0.25, 0.25), mirror=-1.0)
+    return b.finish()
+
+
 def humanoid() -> RobotModel:
     """Floating-base 32-DoF humanoid (WALK-MAN/COMAN class, BASELINE
     configs 4-5): 2x6 legs + 3 waist + 2x7 arms + 2 neck + 1 head."""
@@ -220,6 +240,7 @@ def by_name(name: str) -> RobotModel:
         "arm7": arm7,
         "dual_arm": dual_arm,
         "quadruped": quadruped,
+        "centaur": centaur,
         "biped": biped,
         "humanoid": humanoid,
     }[name]()

@@ -44,7 +44,11 @@ class Cartesian(Task):
         else:
             R, p = kinematics.link_pose(model, data.kin, self.distal_link)
         z6 = jnp.zeros(6, p.dtype)
-        return {"R": R, "p": p, "v": z6, "a": z6}
+        # "w": runtime task weight (OpenSoT setWeight analog) — a dynamic
+        # VALUE in the refs pytree so weight schedules (e.g. swing-foot
+        # upweighting during contact switching) stay inside one compiled
+        # program with static shapes.
+        return {"R": R, "p": p, "v": z6, "a": z6, "w": jnp.ones((), p.dtype)}
 
     def assemble(self, ctx: AssembleCtx):
         from qppvm_tpu.model.dynamics import frame_data, relative_frame_data
@@ -61,7 +65,8 @@ class Cartesian(Task):
         xdd_des = ref["a"] + self.kp * e + self.kd * (ref["v"] - v)
         A_full = (J @ self.qddot.M)[self.indices]
         b_full = (xdd_des - bias - J @ self.qddot.c)[self.indices]
-        w = jnp.asarray(self.weight, ctx.dtype)
+        w = jnp.asarray(self.weight, ctx.dtype) * jnp.asarray(
+            ref.get("w", 1.0), ctx.dtype)
         return w * A_full, w * b_full
 
 
@@ -79,13 +84,19 @@ class Postural(Task):
         self.kd = 2.0 * float(np.sqrt(kp)) if kd is None else kd
 
     def ref_init(self, model, data, state):
-        return {"q": state.q}
+        # "w": per-joint runtime weights (OpenSoT setWeight analog) —
+        # deweighting a swing leg's rows during contact switching keeps the
+        # postural task from fighting the swing-foot Cartesian task.
+        return {"q": state.q, "w": jnp.ones_like(state.q)}
 
     def assemble(self, ctx: AssembleCtx):
-        qref = ctx.refs[self.name]["q"]
+        ref = ctx.refs[self.name]
+        qref = ref["q"]
         qdd_des = self.kp * (qref - ctx.state.q) - self.kd * ctx.state.qd
         off = 6 if ctx.model.floating else 0
         A = self.qddot.M[off:]
         b = qdd_des - self.qddot.c[off:]
-        w = jnp.asarray(self.weight, ctx.dtype)
-        return w * A, w * b
+        w = jnp.asarray(self.weight, ctx.dtype) * jnp.asarray(
+            ref.get("w", 1.0), ctx.dtype)
+        wv = jnp.broadcast_to(w, b.shape)
+        return wv[:, None] * A, wv * b

@@ -67,7 +67,10 @@ class CartesianImpedanceCtrl(Task):
 
     def ref_init(self, model, data, state):
         R, p = self._frame(model, data)[:2]
-        return {"R": R, "p": p, "v": jnp.zeros(6, p.dtype)}
+        # "w": runtime task weight (OpenSoT setWeight analog) — a dynamic
+        # value in the refs pytree, schedulable without recompilation.
+        return {"R": R, "p": p, "v": jnp.zeros(6, p.dtype),
+                "w": jnp.ones((), p.dtype)}
 
     def spring_damper_force(self, ctx: AssembleCtx):
         """F = Kc e_pose + Dc (v_ref - v) (6,), task frame, linear-first —
@@ -95,7 +98,8 @@ class CartesianImpedanceCtrl(Task):
         A = linalg.spd_inverse(G) @ JW               # (k, nj) = Jbar^T
         F_spring, F_damp = self.spring_damper_force(ctx)
         F = (F_spring + F_damp)[self.indices]
-        w = jnp.asarray(self.weight, ctx.dtype)
+        w = jnp.asarray(self.weight, ctx.dtype) * jnp.asarray(
+            ctx.refs[self.name].get("w", 1.0), ctx.dtype)
         return w * A, w * F
 
 
@@ -111,13 +115,15 @@ class JointImpedanceCtrl(Task):
         self.use_inertia_matrix = use_inertia_matrix
 
     def ref_init(self, model, data, state):
-        return {"q": state.q}
+        # "w": per-joint runtime weights (OpenSoT setWeight analog).
+        return {"q": state.q, "w": jnp.ones_like(state.q)}
 
     def assemble(self, ctx: AssembleCtx):
         nj = ctx.model.nj
         K = jnp.full((nj,), 5.0, ctx.dtype) if self.K is None else jnp.asarray(self.K, ctx.dtype)
         D = jnp.full((nj,), 2.0, ctx.dtype) if self.D is None else jnp.asarray(self.D, ctx.dtype)
-        qref = ctx.refs[self.name]["q"]
+        ref = ctx.refs[self.name]
+        qref = ref["q"]
         acc_des = K * (qref - ctx.state.q) - D * ctx.state.qd
         if self.use_inertia_matrix:
             B = ctx.data.B
@@ -127,8 +133,10 @@ class JointImpedanceCtrl(Task):
         else:
             b = acc_des
         A = jnp.eye(nj, dtype=ctx.dtype)
-        w = jnp.asarray(self.weight, ctx.dtype)
-        return w * A, w * b
+        w = jnp.asarray(self.weight, ctx.dtype) * jnp.asarray(
+            ref.get("w", 1.0), ctx.dtype)
+        wv = jnp.broadcast_to(w, (nj,))
+        return wv[:, None] * A, wv * b
 
 
 class TorqueLimits(Constraint):
