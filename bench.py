@@ -55,10 +55,15 @@ def main():
     # --iters 12 (500-tick stand, 0 failures, base drift -3.9 mm,
     # max prim res 5.2e-7); the cones/6D stack also validates on this
     # rho_updates=0 profile post-elimination.
+    # cold_ns_iters=10: the guard-rejected/first-tick COLD NS fallback gets
+    # its own budget (a 4-iteration cold start leaves ~3% inverse error even
+    # on the cond~5 projected matrix); lax.cond keeps the warm fast path at
+    # 4 iterations in the unbatched RT loop (ADVICE r2 #4).
     plugin = ForceAccPlugin(model, contact_links=contacts,
                             waist_link="pelvis", iters=12,
                             solver_opts=dict(rho_updates=0,
-                                             warm_kinv_iters=4))
+                                             warm_kinv_iters=4,
+                                             cold_ns_iters=10))
     state = standing_state(model, contacts)
     refs, warm, _ = plugin.on_start(state)
 

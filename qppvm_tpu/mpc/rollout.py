@@ -49,8 +49,8 @@ class RolloutConfig:
     qp_rho_adapt_tol: float = 1e-3
     qp_rho_scale_min: float = 0.1
     # Relative-primal-residual threshold above which a rollout step counts
-    # as a solver failure. Deliberately looser than the 1e-3 RT-loop gate
-    # (opt/hierarchy.solve_failed): rollout QPs run trimmed iteration
+    # as a solver failure. Deliberately looser than the RT-loop gate
+    # (ForceAccPlugin.RT_FAIL_TOL = 5e-3): rollout QPs run trimmed iteration
     # budgets to *rank* MPPI samples, so this flags genuinely
     # infeasible/diverged scenarios, not merely loosely converged solves.
     # The raw worst residual is surfaced alongside for stricter policies.
@@ -128,7 +128,13 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
         wt["p"] = waist_p
         refs_t["waist_task"] = wt
 
-        tau, warm, aux = _fast_step(state, refs_t, warm)
+        # THE SAME tick implementation as the RT plugin step (never drifts
+        # from it), with the rollout's trimmed solver profile layered on top.
+        tau, warm, aux, _ = plugin.step_core(
+            state, refs_t, warm, solver_opts=rollout_solver_opts)
+        # actuator saturation: the rollout must not promise torques the
+        # drives cannot deliver (SimRobot clips identically)
+        tau = jnp.clip(tau, -model.tau_max, model.tau_max)
 
         # physics with disturbance push on the base (world frame, at base)
         dtype = state.q.dtype
@@ -157,30 +163,17 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
         failed = hierarchy.solve_failed(aux, tol=cfg.fail_tol)
         return (state, refs, warm, waist_p), (c, prim, failed)
 
-    def _fast_step(state, refs, warm):
-        data = dynamics.compute_model_data(model, state)
-        sd = plugin.stack.build(model, data, state, refs, nx=plugin.opt.size,
-                                dtype=plugin.dtype)
-        x, warm_new, infos = hierarchy.solve(
-            sd, warm, eps=plugin.eps,
-            eps_abs_scale=getattr(plugin, "eps_abs_scale", 1e-8),
-            reg_diag=getattr(plugin, "reg_diag", None),
-            iters=cfg.qp_iters, refine=0,
-            rho_updates=cfg.qp_rho_updates,
-            assume_warm_kinv=cfg.qp_warm_kinv,
-            warm_kinv_iters=cfg.qp_warm_kinv_iters,
-            rho_adapt_tol=cfg.qp_rho_adapt_tol,
-            rho_scale_min=cfg.qp_rho_scale_min)
-        qddot = plugin.qddot.value(x)
-        tau_c = jnp.zeros(model.nv, plugin.dtype)
-        for cl, w in zip(plugin.contact_links, plugin.wrenches):
-            Jc = dynamics.frame_data(model, data, cl)[2][:3]
-            tau_c = tau_c + Jc.T @ w.value(x)
-        tau_full = dynamics.rnea(model, state, qddot, gravity=True,
-                                 kin=data.kin)
-        tau = (tau_full - tau_c)[6:]
-        tau = jnp.clip(tau, -model.tau_max, model.tau_max)
-        return tau, warm_new, infos
+    # Rollout solver profile: the plugin's own solver_opts (incl. method,
+    # reg profile, any user overrides) with the horizon-chain knobs layered
+    # on top — trimmed iteration budget, no polish, warm-KKT reuse along
+    # the scan.
+    rollout_solver_opts = dict(
+        iters=cfg.qp_iters, refine=0, polish_rounds=0,
+        rho_updates=cfg.qp_rho_updates,
+        assume_warm_kinv=cfg.qp_warm_kinv,
+        warm_kinv_iters=cfg.qp_warm_kinv_iters,
+        rho_adapt_tol=cfg.qp_rho_adapt_tol,
+        rho_scale_min=cfg.qp_rho_scale_min)
 
     @f32_matmuls
     def rollout(state0: RobotState, refs0, warm0, controls, scenario):

@@ -77,6 +77,7 @@ def solve(
     warm_kinv_iters: int = 12,
     rho_adapt_tol: float = 0.0,
     rho_scale_min: float = 1e-2,
+    cold_ns_iters: Optional[int] = None,
     reg_diag: Optional[jax.Array] = None,
     method: str = "admm",
     pdip_iters: int = 25,
@@ -144,6 +145,7 @@ def solve(
                        warm_kinv_iters=warm_kinv_iters,
                        rho_adapt_tol=rho_adapt_tol,
                        rho_scale_min=rho_scale_min,
+                       cold_ns_iters=cold_ns_iters,
                        method=method, pdip_iters=pdip_iters,
                        eq_elim=eq_elim)
 

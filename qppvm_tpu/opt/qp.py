@@ -208,20 +208,31 @@ def solve(
         # Gram inverse: rows are unit-normalized so G has unit diagonal;
         # the delta shift keeps redundant/locked-dependent rows harmless
         # (least-squares lock).
-        G = Es @ Es.T + 1e-6 * jnp.eye(h_eq + t_eq, dtype=dtype)
+        n_eq_rows = h_eq + t_eq
+        G = Es @ Es.T + 1e-6 * jnp.eye(n_eq_rows, dtype=dtype)
         Ginv = linalg.spd_inverse(G, method=inv_method)
-        EpT = Es.T @ Ginv                      # (n, n_eq)
+        EpT = Es.T @ Ginv                      # (n, n_eq), delta-biased
+        # Newton-Schulz PINV refinement (Ben-Israel–Cohen,
+        # X <- X(2I - E X)) from the Gram-delta initializer: the shift
+        # leaves a per-direction leak L_i = delta/(sigma_i^2 + delta) — O(1)
+        # exactly when an equality pair is NEAR-parallel (sigma_i^2 ~ delta,
+        # e.g. rows 1e-3 apart), where one linear refinement cannot recover
+        # (measured 2e-4 physical equality residual). NS is QUADRATIC from
+        # this always-contractive start (L_i < 1 for every sigma_i > 0), so
+        # 7 iterations drive even L = 0.7 to ~1e-11, while exact-duplicate
+        # rows (sigma_i = 0) stay in the row space — the correct
+        # least-squares lock (tests: test_eq_elim_near_parallel_equality_
+        # rows, test_eq_elim_redundant_equalities).
+        I_eq = jnp.eye(n_eq_rows, dtype=dtype)
+
+        def _pinv_body(X, _):
+            return X @ (2.0 * I_eq - Es @ X), None
+
+        EpT, _ = jax.lax.scan(_pinv_body, EpT, None, length=7)
         Pn = I_n - EpT @ Es                    # tangent-space projector
-        # One Newton refinement of the projector: the Gram delta-shift makes
-        # E Pn = delta Ginv E (a delta-sized leak of the iterate into the
-        # equality-violating space); refining squares the leak to delta^2.
-        Pn = Pn - EpT @ (Es @ Pn)
         x_p = EpT @ b_es                       # particular solution (scaled)
-        # Same for the particular solution: unrefined, the delta*|b| residual
-        # measured 1e-5 scaled -> 5e-4 in physical units on the quadruped
-        # dyn-feas rows; two refinements drive it to the dtype floor.
-        for _ in range(2):
-            x_p = x_p + EpT @ (b_es - Es @ x_p)
+        # one linear refinement mops up dtype roundoff
+        x_p = x_p + EpT @ (b_es - Es @ x_p)
         Ax_p = A @ x_p
         q_eff = Pn @ (q + P @ x_p)
         l = l - Ax_p
@@ -255,7 +266,7 @@ def solve(
     Kinv_warm = state.Kinv
     Kinv = None
 
-    def _ns_warm(K, X_guess, iters_):
+    def _ns_warm(K, X_guess, iters_, cold_iters_=None):
         """NS iteration hot-started from ``X_guess``, guarded by the
         contraction bound sqrt(||E||_1 ||E||_inf) < 0.9 (a max-entry check
         is NOT a norm bound and let divergent warm starts through); falls
@@ -268,7 +279,15 @@ def solve(
         I / ||K||_1 init needs ~log2(cond(K)) doublings — on mixed-unit
         WBC KKT matrices that exceeds short budgets and a single guard
         rejection then poisons the whole warm chain with a ~90%-wrong
-        torque that PRIMAL health cannot see (measured)."""
+        torque that PRIMAL health cannot see (measured).
+
+        ``cold_iters_``: separate (larger) NS budget for guard-rejected /
+        first ticks. A trimmed RT profile (warm budget 4) leaves the
+        prescaled COLD start ~3% off even at cond~5; a lax.cond keeps the
+        warm fast path at its short budget while rare cold ticks pay the
+        full budget (in the unbatched 1 kHz loop only the taken branch
+        executes; under vmap both run, so rollout profiles keep
+        cold_iters_ == iters_)."""
         I_n = jnp.eye(n, dtype=dtype)
         E = I_n - X_guess @ K
         absE = jnp.abs(E)
@@ -281,12 +300,21 @@ def solve(
             jnp.abs(K) * jnp.sqrt(dinv)[:, None] * jnp.sqrt(dinv)[None, :],
             axis=0))
         cold = jnp.diag(dinv / jnp.maximum(Ks_norm1, 1e-30))
-        X0 = jnp.where(err < 0.9, X_guess, cold)
+        warm_ok = err < 0.9
 
         def ns_body(X, _):
             return X @ (2.0 * I_n - K @ X), None
 
-        X, _ = jax.lax.scan(ns_body, X0, None, length=iters_)
+        def _run(X0, length):
+            X, _ = jax.lax.scan(ns_body, X0, None, length=length)
+            return X
+
+        if cold_iters_ is None or cold_iters_ == iters_:
+            X = _run(jnp.where(warm_ok, X_guess, cold), iters_)
+        else:
+            X = jax.lax.cond(warm_ok,
+                             lambda: _run(X_guess, iters_),
+                             lambda: _run(cold, cold_iters_))
         return jnp.where(jnp.all(jnp.isfinite(X)), X, cold)
 
     for chunk_i in range(n_chunks):
@@ -312,7 +340,8 @@ def solve(
             # change, and a short warm NS there yields an inaccurate inverse
             # that silently floors the dual residual — measured as a humanoid
             # sinking 16 cm in closed loop. They pay the full cold NS.
-            Kinv = _ns_warm(K, Kinv_warm, warm_kinv_iters)
+            Kinv = _ns_warm(K, Kinv_warm, warm_kinv_iters,
+                            cold_iters_=cold_ns_iters)
         else:
             # ``cold_ns_iters`` trims the cold inversion budget where the
             # KKT matrix is known well-conditioned (equality-eliminated
@@ -357,8 +386,9 @@ def solve(
         z_in = (z + Ax_p) / jnp.maximum(e, 1e-30)
         y_in = e * y
         # recover equality multipliers from stationarity:
-        # P x + q + A_in^T y + E^T y_eq = 0  (scaled, then unscale by R)
-        nu = -(Ginv @ (Es @ (P @ xs + q + A.T @ y)))
+        # P x + q + A_in^T y + E^T y_eq = 0  (scaled, then unscale by R);
+        # (E^T)^+ = (E^+)^T = EpT^T with the NS-refined pseudo-inverse
+        nu = -(EpT.T @ (P @ xs + q + A.T @ y))
         y_eq = R_eq * nu
         z_eq = b_e0
         z = jnp.concatenate([z_eq[:h_eq], z_in, z_eq[h_eq:]])

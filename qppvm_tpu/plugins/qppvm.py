@@ -178,6 +178,12 @@ class QPPVMPlugin:
         """One tick: returns (tau_desired, new_warm, aux)."""
         return self._step(state, refs, warm)
 
+    def close(self) -> None:
+        """Lifecycle-parity hook: the reference's close() flushes its
+        MatLogger (/root/reference/src/QPPVMPlugin.cpp:339-342); here the
+        trace flush lives in ControlLoop.close() (which calls this first).
+        The plugin carries no cross-session state to release."""
+
     # --- the jitted tick ------------------------------------------------
     @f32_matmuls
     def _step_impl(self, state: RobotState, refs, warm):

@@ -92,8 +92,34 @@ class ControlLoop:
         self.realtime = realtime
         self.ref_generator = ref_generator
         self.log = get_logger("control_loop")
+        self._closed = False
 
-    def run(self, seconds: float) -> LoopStats:
+    def close(self) -> None:
+        """Teardown parity with the reference's ``close()`` hook: call the
+        plugin's close (if it defines one) and flush the trace buffer —
+        the reference flushes its MatLogger exactly here
+        (/root/reference/src/QPPVMPlugin.cpp:339-342). Idempotent."""
+        if self._closed:
+            return
+        self._closed = True
+        plugin_close = getattr(self.plugin, "close", None)
+        if callable(plugin_close):
+            plugin_close()
+        if self.trace is not None:
+            path = self.trace.flush()
+            self.log.info("trace flushed to %s", path)
+
+    def run(self, seconds: float, close_on_exit: bool = True) -> LoopStats:
+        """Run the loop for ``seconds``; on exit (normal or exceptional)
+        invoke :meth:`close` unless ``close_on_exit=False`` (callers that
+        run multiple segments against one loop close explicitly)."""
+        try:
+            return self._run(seconds)
+        finally:
+            if close_on_exit:
+                self.close()
+
+    def _run(self, seconds: float) -> LoopStats:
         robot = self.robot
         plugin = self.plugin
         state = robot.state

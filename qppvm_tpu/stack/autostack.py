@@ -85,6 +85,19 @@ class AutoStack:
         # equality rows by projection (opt/qp.py n_eq_head). Gated
         # constraints that become equalities only at runtime (contact
         # switches) stay in the inequality block.
+        #
+        # COMPATIBILITY NOTE (warm-state serialization): this equality-first
+        # permutation fixes the row order of C — and therefore the layout of
+        # the z/y vectors in any QPState persisted via runtime/checkpoint.py.
+        # A warm state saved before a change to constraint ordering (or to
+        # ``is_equality`` flags) indexes different rows and must be
+        # discarded, not resumed. ``constraint_row_order()`` exposes the
+        # effective order for external consumers.
+        #
+        # INVARIANT consumed by the solver: every row of an
+        # ``is_equality`` constraint must have lb == ub — the eliminator
+        # takes l as the equality RHS without re-checking
+        # (opt/qp.py n_eq_head). ``validate(...)`` asserts this on host.
         C_rows, lC_rows, uC_rows = [], [], []
         n_eq = 0
         ordered = ([c for c in self.constraints if c.is_equality]
@@ -112,6 +125,31 @@ class AutoStack:
             uC = jnp.zeros((0,), dtype)
         return hierarchy.StackData(levels=tuple(levels), C=C, lC=lC, uC=uC,
                                    lb=lb, ub=ub, n_eq=n_eq)
+
+    def constraint_row_order(self) -> List[str]:
+        """Names of ROWS constraints in effective (equality-first) C-row
+        order — for consumers that index C rows or persist warm states."""
+        ordered = ([c for c in self.constraints if c.is_equality]
+                   + [c for c in self.constraints if not c.is_equality])
+        return [c.name for c in ordered]
+
+    @staticmethod
+    def validate(stack_data: hierarchy.StackData, tol: float = 1e-6) -> None:
+        """Host-side debug check of the solver's elimination invariant: the
+        leading ``n_eq`` rows of C must be true equalities (u - l < tol).
+        A miscounted n_eq (or a gated row drifting into the equality block)
+        would silently hard-pin inequality rows to their lower bound with no
+        solver-visible signal (ADVICE r2 #1). Call from tests / once at
+        plugin construction — not inside jit."""
+        import numpy as np
+        n_eq = stack_data.n_eq
+        if n_eq == 0:
+            return
+        gap = np.asarray(stack_data.uC[:n_eq] - stack_data.lC[:n_eq])
+        if not np.all(gap < tol):
+            raise AssertionError(
+                f"stack n_eq={n_eq} but rows {np.nonzero(gap >= tol)[0]} "
+                f"have u - l >= {tol}: not structural equalities")
 
     def log(self, trace, stack_data: hierarchy.StackData,
             x=None, infos=None) -> None:

@@ -257,6 +257,40 @@ def test_eq_elim_redundant_equalities():
     np.testing.assert_allclose(np.asarray(x_r), np.asarray(x_h), atol=1e-5)
 
 
+def test_eq_elim_near_parallel_equality_rows():
+    """Nearly-linearly-dependent equality rows (1e-3 apart, CONSISTENT rhs):
+    the Gram delta shift (1e-6) is comparable to the small eigenvalue
+    lambda_2 = 1 - cos(1e-3) ~ 5e-7, so the unrefined projector leaks O(1)
+    in the weak direction — the Newton refinements must keep the physical
+    equality residual tight anyway (ADVICE r2 #2; only exact duplicates were
+    covered before)."""
+    n = 12
+    key = jax.random.PRNGKey(42)
+    k1, k2, k3 = jax.random.split(key, 3)
+    prob = _random_qp(k1, n=n, m=8, eq_rows=0)
+    x_star = jax.random.normal(k2, (n,), DT)
+    e1 = jax.random.normal(k3, (n,), DT)
+    e1 = e1 / jnp.linalg.norm(e1)
+    v = jax.random.normal(jax.random.PRNGKey(43), (n,), DT)
+    v = v - (v @ e1) * e1
+    v = v / jnp.linalg.norm(v)
+    e2 = e1 + 1e-3 * v
+    e2 = e2 / jnp.linalg.norm(e2)
+    E = jnp.stack([e1, e2])
+    be = E @ x_star                     # consistent rhs, bounded solution
+    A = jnp.concatenate([E, prob.A], axis=0)
+    l = jnp.concatenate([be, prob.l])
+    u = jnp.concatenate([be, prob.u])
+    prob_np = qp.QPProblem(P=prob.P, q=prob.q, A=A, l=l, u=u)
+    x, _, _ = qp.solve(prob_np, iters=300, refine=3, n_eq_head=2)
+    # equality residual in PHYSICAL units stays at solver precision even in
+    # the near-degenerate lock direction
+    res = np.asarray(E @ x - be)
+    np.testing.assert_allclose(res, 0.0, atol=1e-6)
+    x_ref, _ = _oracle(prob_np)
+    np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-3)
+
+
 def test_eq_elim_runtime_gated_equality_stays_inequality_block():
     """A row whose l == u only at RUNTIME (contact-switch gate) sits in the
     inequality block; the rho boost there still enforces it."""
