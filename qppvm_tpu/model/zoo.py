@@ -145,16 +145,27 @@ def dual_arm() -> RobotModel:
     return b.finish()
 
 
-def _add_leg3(b, prefix, parent, root_offset, foot_name):
-    """3-DoF (hip pitch/roll + knee) leg ending in a foot link."""
+def _add_leg4(b, prefix, parent, root_offset, foot_name):
+    """4-DoF (hip pitch/roll, knee, ankle pitch) leg ending in a foot link.
+
+    The foot contact frame sits at the DISTAL end of the shank (the ankle
+    joint origin), NOT at the knee: link frames live at their joint, so
+    naming the shank body itself as the foot would put the contact point ON
+    the knee axis — zeroing the knee column of the contact Jacobian and
+    leaving the leg only ~0.14 m/rad of z authority through the hip
+    (measured; the round-2 leg-lift failure). The ankle joint itself has no
+    linear authority at the contact point (point foot) and is shaped by the
+    postural task only."""
     hip1 = b.add(f"{prefix}_hip_y", parent, (0, 1, 0), root_offset, 2.0, 0.1,
                  home=0.4, tau=200.0)
     hip2 = b.add(f"{prefix}_hip_x", hip1, (1, 0, 0), (0, 0, -0.05), 2.0, 0.25,
                  home=0.0, tau=200.0, com_along=[0, 0, -1])
     knee = b.add(f"{prefix}_knee", hip2, (0, 1, 0), (0, 0, -0.30), 1.5, 0.30,
-                 home=-0.8, tau=200.0, com_along=[0, 0, -1],
+                 home=-0.8, tau=200.0, com_along=[0, 0, -1])
+    foot = b.add(f"{prefix}_ankle_y", knee, (0, 1, 0), (0, 0, -0.30), 0.3,
+                 0.02, home=0.0, tau=60.0, com_along=[0, 0, -1],
                  link_name=foot_name)
-    return knee
+    return foot
 
 
 def quadruped() -> RobotModel:
@@ -163,10 +174,10 @@ def quadruped() -> RobotModel:
     and floating-base link "pelvis" (/root/reference/src/ForceAcc.cpp:29)."""
     b = _Builder(root_name="pelvis", floating=True, base_mass=25.0,
                  base_size=(0.6, 0.4, 0.2))
-    _add_leg3(b, "fl", -1, (0.3, 0.2, -0.05), "foot_fl")
-    _add_leg3(b, "fr", -1, (0.3, -0.2, -0.05), "foot_fr")
-    _add_leg3(b, "hr", -1, (-0.3, -0.2, -0.05), "foot_hr")
-    _add_leg3(b, "hl", -1, (-0.3, 0.2, -0.05), "foot_hl")
+    _add_leg4(b, "fl", -1, (0.3, 0.2, -0.05), "foot_fl")
+    _add_leg4(b, "fr", -1, (0.3, -0.2, -0.05), "foot_fr")
+    _add_leg4(b, "hr", -1, (-0.3, -0.2, -0.05), "foot_hr")
+    _add_leg4(b, "hl", -1, (-0.3, 0.2, -0.05), "foot_hl")
     return b.finish()
 
 
@@ -201,13 +212,13 @@ def centaur() -> RobotModel:
     /root/reference/src/ForceAcc.cpp:58 (``foot_fl/fr/hr/hl``) plus the
     torso + two 7-DoF arms whose end-effectors carry the reference's QPPVM
     names ``arm1_7``/``arm2_7`` (/root/reference/src/QPPVMPlugin.cpp:129-152).
-    27 joints + floating base = 33 generalized DoF."""
+    31 joints + floating base = 37 generalized DoF."""
     b = _Builder(root_name="pelvis", floating=True, base_mass=25.0,
                  base_size=(0.6, 0.4, 0.2))
-    _add_leg3(b, "fl", -1, (0.3, 0.2, -0.05), "foot_fl")
-    _add_leg3(b, "fr", -1, (0.3, -0.2, -0.05), "foot_fr")
-    _add_leg3(b, "hr", -1, (-0.3, -0.2, -0.05), "foot_hr")
-    _add_leg3(b, "hl", -1, (-0.3, 0.2, -0.05), "foot_hl")
+    _add_leg4(b, "fl", -1, (0.3, 0.2, -0.05), "foot_fl")
+    _add_leg4(b, "fr", -1, (0.3, -0.2, -0.05), "foot_fr")
+    _add_leg4(b, "hr", -1, (-0.3, -0.2, -0.05), "foot_hr")
+    _add_leg4(b, "hl", -1, (-0.3, 0.2, -0.05), "foot_hl")
     torso = b.add("torso_yaw", -1, (0, 0, 1), (0.2, 0.0, 0.1), 10.0, 0.3,
                   link_name="torso", tau=200.0)
     _add_arm7(b, "arm1", torso, (0.0, 0.25, 0.25), mirror=1.0)

@@ -32,7 +32,7 @@ from qppvm_tpu.opt.variables import Optvar
 from qppvm_tpu.stack.autostack import AutoStack
 from qppvm_tpu.tasks.acceleration import Cartesian, Postural
 from qppvm_tpu.tasks.base import AssembleCtx, Indices, SubTask
-from qppvm_tpu.tasks.force import CoM
+from qppvm_tpu.tasks.force import CoM, ForceReg
 from qppvm_tpu.tasks.generic import (DynamicFeasibility, FrictionCone,
                                      GenericConstraint)
 
@@ -76,12 +76,23 @@ class ForceAccPlugin:
                  fz_min: float = 10.0,
                  use_friction_cones: bool = False, mu: float = 0.7,
                  waist_kp: float = 100.0, postural_kp: float = 25.0,
+                 force_reg_weight: float = 0.1,
                  switchable_contacts: bool = False, wrench_dim: int = 3,
+                 foot_tasks_6d: bool = True,
                  dtype=jnp.float32,
                  solver_opts: Optional[Dict[str, Any]] = None):
         """``wrench_dim``: 3 = point contacts (reference semantics,
         /root/reference/src/ForceAcc.cpp:67 'put 6 for full wrench');
-        6 = full wrench per contact (flat feet, config 4 humanoid)."""
+        6 = full wrench per contact (flat feet, config 4 humanoid).
+
+        ``foot_tasks_6d``: False = position-only feet Cartesian tasks
+        (``Indices`` rows 0-2, the reference's position-only SubTask
+        pattern, /root/reference/src/QPPVMPlugin.cpp:134). REQUIRED for
+        point-foot robots whose legs have <6 DoF: a 6D task on a 3-DoF leg
+        is rank-deficient, and during a swing the least-squares trade
+        sacrifices position tracking to an unreachable orientation error
+        (measured: commanded foot z accel -2 m/s^2 against a +10 m/s^2
+        position demand — the foot never lifts)."""
         if not model.floating:
             raise ValueError("ForceAcc needs a floating-base model")
         self.model = model
@@ -145,18 +156,25 @@ class ForceAccPlugin:
         self.opt = Optvar(variables, dtype=dtype)
         self.qddot = self.opt["qddot"]
         self.wrenches = [self.opt[cl] for cl in contact_links]
-        # Uniform proximal reg over the whole x (center = warm solution).
-        # Measured against shaping it to the wrench block only: the uniform
-        # version leaves pushed-rollout health at fail_frac 0 and 20-iter
-        # tau error at 0.15% (vs 0.8% fails / 12% error when qddot is left
-        # nearly unregularized) — the qddot proximal term also conditions
-        # the ADMM without biasing physics, since its center tracks the
-        # solution.
+        # Proximal reg over x (center = warm solution). qddot keeps the full
+        # uniform weight (measured round 2: pushed-rollout health fail_frac 0
+        # and 20-iter tau error 0.15%, vs 0.8% fails / 12% error when qddot
+        # is left nearly unregularized — the qddot proximal conditions the
+        # ADMM without biasing physics since its center tracks the solution).
+        # The WRENCH block drops to 0.1x so the ForceReg task (an objective
+        # anchor at the gate-share distribution, tasks/force.py) governs the
+        # force nullspace instead of the warm-center random walk that starved
+        # stance feet of friction budget in round 2's leg-lift failure.
         self.reg_diag = jnp.ones((self.opt.size,), dtype)
+        if force_reg_weight > 0.0:
+            # x layout is [qddot(nv); wrenches...] (Optvar order above)
+            self.reg_diag = self.reg_diag.at[nv:].set(0.02)
         self.solver_opts["reg_diag"] = self.reg_diag
 
+        foot_rows = None if foot_tasks_6d else (0, 1, 2)
         self.feet_tasks = [
-            Cartesian(cl + "_cartesian", cl, self.qddot, kp=postural_kp)
+            Cartesian(cl + "_cartesian", cl, self.qddot, kp=postural_kp,
+                      indices=foot_rows)
             for cl in contact_links
         ]
         self.waist_task = Cartesian("waist_task", waist_link, self.qddot,
@@ -212,7 +230,18 @@ class ForceAccPlugin:
         feet_aggr = self.feet_tasks[0]
         for t in self.feet_tasks[1:]:
             feet_aggr = feet_aggr + t
-        stack = (self.waist_task / (self.postural + feet_aggr)) << self.dyn_feas
+        level2 = self.postural + feet_aggr
+        self.force_reg = None
+        if force_reg_weight > 0.0:
+            # pins the contact-force distribution nullspace (see
+            # tasks/force.py ForceReg); its wrench columns are disjoint from
+            # the qddot tasks', so at this weight it cannot degrade tracking
+            self.force_reg = ForceReg(
+                "FORCE_REG", self.wrenches, w_tan=force_reg_weight,
+                w_norm=0.5 * force_reg_weight,
+                gates_key="contacts" if switchable_contacts else None)
+            level2 = level2 + self.force_reg
+        stack = (self.waist_task / level2) << self.dyn_feas
         for c in wrench_constraints:
             stack = stack << c
         self.stack = stack
@@ -245,14 +274,26 @@ class ForceAccPlugin:
         # equalities really are equalities (ADVICE r2 #1); host-side, once
         self.stack.validate(stack_data)
         # Two-phase warm-start seed:
-        # 1) unbiased cold solve (1e-8 reg, i.e. essentially unregularized)
-        #    — regularizing the FIRST solve toward x=0 would make small
-        #    contact forces cheaper than holding the robot's weight;
+        # 1) cold solve with the proximal CENTERED ON THE EQUAL-SHARE SUPPORT
+        #    FORCES (qddot = 0, each contact fz = W/nc). Centering on x = 0
+        #    is NOT "essentially unregularized": even a 2e-4 effective weight
+        #    times ||f||^2 ~ 6e4 N^2 out-prices the task cost of a ~0.5 m/s^2
+        #    free-fall sag (measured: base_zdd -0.66 commanded at a perfectly
+        #    settled stand, on both ADMM and PDIP backends). A center whose
+        #    normal forces SUM TO W has zero first-order sag gradient.
         # 2) re-solve with the deployment reg profile, proximal-centered on
-        #    the unbiased solution, so the carried warm state (incl. KKT
+        #    the phase-1 solution, so the carried warm state (incl. KKT
         #    inverses) matches what the RT/rollout solves will see.
+        x_share = jnp.zeros(self.opt.size, self.dtype)
+        g_mag = jnp.linalg.norm(self.model.gravity.astype(self.dtype))
+        share = data.total_mass * g_mag / len(self.contact_links)
+        for wr in self.wrenches:
+            e = jnp.zeros(wr.size, self.dtype).at[2].set(share)
+            x_share = x_share + wr.M.T @ e
+        warm0 = tuple(dataclasses.replace(s, x=x_share)
+                      for s in hierarchy.warm_start_init(stack_data))
         _, warm, _ = hierarchy.solve(
-            stack_data, hierarchy.warm_start_init(stack_data), eps=self.eps,
+            stack_data, warm0, eps=self.eps,
             eps_abs_scale=1e-8, iters=self.iters, refine=2)
         _, warm, _ = hierarchy.solve(
             stack_data, warm, eps=self.eps,

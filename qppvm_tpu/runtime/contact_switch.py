@@ -1,0 +1,216 @@
+"""Contact-switch (single-support) reference scheduler.
+
+The static-walk primitive on top of the gated wrench constraints
+(tasks/generic.py gate semantics): weight shift over the remaining support
+polygon -> gate-ramped unload -> swing lift -> hold -> lower -> gate-ramped
+reload. A capability upgrade over the reference, whose contact set is fixed
+at init (/root/reference/src/ForceAcc.cpp:58,74-96); BASELINE config 4
+"contact switching at 1 kHz".
+
+Everything is expressed through the refs pytree of a ForceAccPlugin stack
+(pose/vel/acc feedforward, runtime task weights ``w``, runtime servo gains
+``kp``/``kd``, postural per-joint weights, contact gates), so one compiled
+step function serves the whole maneuver — phases change VALUES, never
+shapes.
+
+Tuning notes (measured on the zoo quadruped, tools/exp_leg_lift3.py):
+- the gate ramp must fully unload the foot BEFORE the lift starts
+  (a binary gate flip is a force discontinuity the warm-started RT solver
+  answers with a failed tick);
+- min-jerk with velocity AND acceleration feedforward is what lets a
+  300 ms swing track with moderate servo gains;
+- the swing foot task needs higher kp and weight than stance feet, and the
+  swing leg's postural rows must be deweighted or the postural task drags
+  the leg back to home.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from qppvm_tpu.model import kinematics
+from qppvm_tpu.runtime.trajectory import min_jerk_pva
+
+
+@dataclasses.dataclass
+class LegLiftPhases:
+    """Phase durations in ticks."""
+
+    settle: int = 150
+    shift: int = 400
+    dwell: int = 150
+    unload: int = 150
+    lift: int = 250
+    hold: int = 250
+    lower: int = 250
+    reload: int = 250
+
+    @property
+    def total(self) -> int:
+        return (self.settle + self.shift + self.dwell + self.unload +
+                self.lift + self.hold + self.lower + self.reload)
+
+
+def chain_joints(model, link_name: str) -> list:
+    """Actuated joint indices on the kinematic chain from the base to
+    ``link_name`` (the swing leg, for postural deweighting)."""
+    li = model.link_index(link_name)
+    out = []
+    parent = np.asarray(model.parent)
+    while li >= 0:
+        out.append(int(li))
+        li = int(parent[li])
+    return sorted(out)
+
+
+class LegLiftScript:
+    """Per-tick refs for one swing of ``foot`` while the other contacts
+    stay planted. Drive with::
+
+        script = LegLiftScript(model, plugin, refs, initial_waist, "foot_fl")
+        for i in range(script.total):
+            tau, warm, aux = plugin.control_loop(robot.state,
+                                                 script.refs_at(i), warm)
+    """
+
+    def __init__(self, model, plugin, refs, initial_waist, foot: str, *,
+                 state=None, phases: Optional[LegLiftPhases] = None,
+                 margin: float = 0.08, lift_height: float = 0.05,
+                 touch_depth: float = 0.005, swing_kp: float = 150.0,
+                 swing_w: float = 4.0, postural_deweight: float = 0.05,
+                 dt: float = 1e-3):
+        self.model = model
+        self.plugin = plugin
+        self.refs = refs
+        self.foot = foot
+        self.ph = phases or LegLiftPhases()
+        self.dt = dt
+        self.swing_kp = swing_kp
+        self.swing_kd = 2.0 * float(np.sqrt(swing_kp))
+        self.swing_w = swing_w
+        contacts = list(plugin.contact_links)
+        self.foot_i = contacts.index(foot)
+        self.support = [c for c in contacts if c != foot]
+        self.key = foot + "_cartesian"
+
+        # geometry at the start state
+        if state is None:
+            raise ValueError("pass the start RobotState (for FK geometry)")
+        kin0 = kinematics.fk(model, state)
+        sup_xy = np.stack([np.asarray(kin0.p[model.link_index(c)])[:2]
+                           for c in self.support])
+        com0 = np.asarray(kinematics.com(model, kin0)[1])[:2]
+        waist0 = np.asarray(initial_waist, np.float64)
+        if len(self.support) >= 3:
+            # shift the CoM ``margin`` inside the support polygon, normal to
+            # the edge separating the swing corner from the polygon
+            others = [i for i in range(len(sup_xy))]
+            # edge = the two support feet adjacent to the swing foot: use the
+            # pair with the largest distance (polygon diagonal facing swing)
+            best = None
+            for a in range(len(sup_xy)):
+                for b in range(a + 1, len(sup_xy)):
+                    inside = [i for i in others if i not in (a, b)]
+                    d = sup_xy[b] - sup_xy[a]
+                    n = np.array([d[1], -d[0]])
+                    n /= max(np.linalg.norm(n), 1e-9)
+                    ref_pt = sup_xy[inside[0]]
+                    if np.dot(ref_pt - sup_xy[a], n) < 0:
+                        n = -n
+                    # the separating edge is the one where the swing foot is
+                    # on the negative side
+                    p_foot = np.asarray(
+                        kin0.p[model.link_index(foot)])[:2]
+                    if np.dot(p_foot - sup_xy[a], n) < 0:
+                        best = (a, b, n)
+            a, b, n = best
+            dist = np.dot(com0 - sup_xy[a], n)
+            shift = (margin - dist) * n
+        else:
+            shift = sup_xy.mean(axis=0) - com0
+        self.w0 = jnp.asarray(waist0, jnp.float32)
+        self.w1 = jnp.asarray(waist0 + np.r_[shift, 0.0], jnp.float32)
+
+        p0 = np.asarray(refs[self.key]["p"], np.float64)
+        self.pf0 = jnp.asarray(p0, jnp.float32)
+        self.pf_up = jnp.asarray(p0 + [0, 0, lift_height], jnp.float32)
+        self.pf_dn = jnp.asarray(p0 + [0, 0, -touch_depth], jnp.float32)
+        self.swing_joints = [j for j in chain_joints(model, foot)
+                             if j < model.nj]
+        self.postural_deweight = postural_deweight
+        nc = len(contacts)
+        self._gate_on = jnp.ones(nc, jnp.float32)
+
+        p = self.ph
+        self.t_shift0 = p.settle
+        self.t_dwell0 = self.t_shift0 + p.shift
+        self.t_unload0 = self.t_dwell0 + p.dwell
+        self.t_lift0 = self.t_unload0 + p.unload
+        self.t_hold0 = self.t_lift0 + p.lift
+        self.t_lower0 = self.t_hold0 + p.hold
+        self.t_reload0 = self.t_lower0 + p.lower
+        self.total = p.total
+
+    # -- helpers ---------------------------------------------------------
+    def _gate(self, g: float):
+        return self._gate_on.at[self.foot_i].set(jnp.float32(g))
+
+    def _set_cart(self, r, key, p, v, a, w=None, kp=None, kd=None):
+        tr = dict(r[key])
+        tr["p"] = p
+        tr["v"] = jnp.zeros(6, jnp.float32).at[:3].set(v)
+        tr["a"] = jnp.zeros(6, jnp.float32).at[:3].set(a)
+        if w is not None:
+            tr["w"] = jnp.asarray(w, jnp.float32)
+        if kp is not None:
+            tr["kp"] = jnp.asarray(kp, jnp.float32)
+            tr["kd"] = jnp.asarray(kd, jnp.float32)
+        r[key] = tr
+        return r
+
+    def _swing_refs(self, r, p, v, a):
+        r = self._set_cart(r, self.key, p, v, a, w=self.swing_w,
+                           kp=self.swing_kp, kd=self.swing_kd)
+        po = dict(r["POSTURAL"])
+        wv = np.ones(self.model.nj, np.float32)
+        wv[self.swing_joints] = self.postural_deweight
+        po["w"] = jnp.asarray(wv)
+        r["POSTURAL"] = po
+        return r
+
+    # -- the schedule ----------------------------------------------------
+    def refs_at(self, i: int) -> Dict:
+        ph, dt = self.ph, self.dt
+        r = dict(self.refs)
+        t_shift = float(np.clip((i - self.t_shift0) * dt, 0.0,
+                               ph.shift * dt))
+        wp, wv, wa = min_jerk_pva(self.w0, self.w1, t_shift, ph.shift * dt)
+        r = self._set_cart(r, "waist_task", wp, wv, wa)
+        gate = self._gate_on
+        z3 = jnp.zeros(3, jnp.float32)
+        if self.t_unload0 <= i < self.t_lift0:
+            g = float(1.0 - (i - self.t_unload0) / max(ph.unload, 1))
+            gate = self._gate(g)
+        elif self.t_lift0 <= i < self.t_hold0:
+            gate = self._gate(0.0)
+            t = float((i - self.t_lift0) * dt)
+            p, v, a = min_jerk_pva(self.pf0, self.pf_up, t, ph.lift * dt)
+            r = self._swing_refs(r, p, v, a)
+        elif self.t_hold0 <= i < self.t_lower0:
+            gate = self._gate(0.0)
+            r = self._swing_refs(r, self.pf_up, z3, z3)
+        elif self.t_lower0 <= i < self.t_reload0:
+            gate = self._gate(0.0)
+            t = float((i - self.t_lower0) * dt)
+            p, v, a = min_jerk_pva(self.pf_up, self.pf_dn, t, ph.lower * dt)
+            r = self._swing_refs(r, p, v, a)
+        elif i >= self.t_reload0:
+            g = float(np.clip((i - self.t_reload0) / max(ph.reload, 1),
+                             0.0, 1.0))
+            gate = self._gate(g)
+            r = self._swing_refs(r, self.pf_dn, z3, z3)
+        r["contacts"] = {"active": gate}
+        return r

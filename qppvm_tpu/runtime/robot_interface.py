@@ -81,7 +81,8 @@ class SimRobot:
                  dt: float = 1e-3, substeps: int = 4,
                  contact_links=(), ground_z: float = 0.0,
                  contact_kp: float = 2e4, contact_kd: float = 300.0,
-                 mu: float = 0.8, contact_offsets=None, dtype=jnp.float32):
+                 mu: float = 0.8, contact_kt: float = 2e4,
+                 contact_offsets=None, dtype=jnp.float32):
         """``contact_offsets``: optional dict link_name -> (K,3) local
         contact points (flat-foot patches); default = the link origin."""
         self.model = model
@@ -104,6 +105,7 @@ class SimRobot:
         self.contact_kp = contact_kp
         self.contact_kd = contact_kd
         self.mu = mu
+        self.contact_kt = contact_kt
         nj = model.nj
         # Drive-level impedance (robot->setStiffness/setDamping,
         # /root/reference/src/QPPVMPlugin.cpp:267-268).
@@ -117,9 +119,28 @@ class SimRobot:
         self._fb_vel = self.shared_memory.get_shared_object(
             "/sim/floating_base_velocity")
         self._publish_fb()
+        # Stiction anchors: one xy anchor per contact point. A tangential
+        # spring to the anchor gives the ground STATIC friction (a viscous-only
+        # model lets stance feet creep under any sustained shear — the
+        # round-2 leg-lift failure mode); the anchor slides only when the
+        # spring force saturates the Coulomb limit mu*fz.
+        self._anchors = self._init_anchors()
         self._step = jax.jit(partial(_sim_step, model, dt / substeps,
                                      self._contact_idx, self._contact_offsets,
-                                     ground_z, contact_kp, contact_kd, mu))
+                                     ground_z, contact_kp, contact_kd, mu,
+                                     contact_kt))
+
+    def _init_anchors(self) -> jax.Array:
+        n_pts = sum(len(o) for o in self._contact_offsets)
+        if n_pts == 0:
+            return jnp.zeros((0, 2), self.dtype)
+        kin = kinematics.fk(self.model, self.state)
+        pts = []
+        for li, offsets in zip(self._contact_idx, self._contact_offsets):
+            for off in offsets:
+                p = kin.p[li] + kin.R[li] @ jnp.asarray(off, self.dtype)
+                pts.append(p[:2])
+        return jnp.stack(pts)
 
     # --- sense side -----------------------------------------------------
     def get_motor_position(self) -> jax.Array:
@@ -155,8 +176,9 @@ class SimRobot:
         """Advance physics by one control period (robot->move(),
         /root/reference/src/QPPVMPlugin.cpp:328)."""
         for _ in range(self.substeps):
-            self.state = self._step(self.state, self._tau_ref, self._q_ref,
-                                    self.k, self.d)
+            self.state, self._anchors = self._step(
+                self.state, self._anchors, self._tau_ref, self._q_ref,
+                self.k, self.d)
         self._publish_fb()
 
     def _publish_fb(self):
@@ -166,21 +188,31 @@ class SimRobot:
 
 
 def _sim_step(model: RobotModel, h: float, contact_idx, contact_offsets,
-              ground_z, kp_c, kd_c, mu, state: RobotState, tau_ref, q_ref,
-              k, d):
+              ground_z, kp_c, kd_c, mu, kt_c, state: RobotState, anchors,
+              tau_ref, q_ref, k, d):
     """One physics substep (jitted): drive PD + effort + ground contact.
     Each contact link may carry several local contact points (foot patch);
-    per-point compliant normal + friction-clamped tangential forces are
-    accumulated as a wrench at the link origin."""
+    per-point compliant normal + Coulomb-limited tangential forces are
+    accumulated as a wrench at the link origin.
+
+    Tangential model: spring-damper to a per-point xy anchor (STICTION — a
+    stance foot under sustained shear holds position instead of creeping),
+    clamped to the friction cone mu*fz; when the clamp saturates, the anchor
+    slides so the spring stays consistent with the clamped force
+    (regularized Coulomb friction). Anchors reset to the contact point while
+    the point is airborne. Returns ``(new_state, new_anchors)``."""
     tau = tau_ref + k * (q_ref - state.q) - d * state.qd
     tau = jnp.clip(tau, -model.tau_max, model.tau_max)
 
     ext = None
+    new_anchors = anchors
     if contact_idx:
         kin = kinematics.fk(model, state)
         J_all = kinematics.all_link_jacobians(model, kin)
         u = state.u if model.floating else state.qd
         ext = jnp.zeros((model.nj, 6), state.q.dtype)
+        anchor_rows = []
+        pt = 0
         for li, offsets in zip(contact_idx, contact_offsets):
             p0 = kin.p[li]
             R0 = kin.R[li]
@@ -194,15 +226,26 @@ def _sim_step(model: RobotModel, h: float, contact_idx, contact_offsets,
                 pen = ground_z - p[2]                   # >0 when penetrating
                 in_contact = pen > 0.0
                 fz = jnp.maximum((kp_c * pen - kd_c * v[2]) / n_pts, 0.0)
-                ft = -kd_c * v[:2] * 5.0 / n_pts        # tangential damping
+                a = anchors[pt]
+                ft = (-kt_c * (p[:2] - a) - kd_c * 5.0 * v[:2]) / n_pts
                 ft_max = mu * fz
                 ft_norm = jnp.linalg.norm(ft) + 1e-9
-                ft = ft * jnp.minimum(1.0, ft_max / ft_norm)
+                scale = jnp.minimum(1.0, ft_max / ft_norm)
+                ft = ft * scale
+                # sliding: move the anchor so the (clamped) spring force is
+                # exactly what the unclamped law would produce at the new a
+                a_slide = p[:2] + (ft * n_pts + kd_c * 5.0 * v[:2]) / kt_c
+                a_new = jnp.where(in_contact,
+                                  jnp.where(scale < 1.0, a_slide, a),
+                                  p[:2])
+                anchor_rows.append(a_new)
+                pt += 1
                 f = jnp.where(in_contact,
                               jnp.concatenate([ft, fz[None]]),
                               jnp.zeros(3, state.q.dtype))
                 wrench = jnp.concatenate([f, jnp.cross(r, f)])
                 ext = ext.at[li].add(wrench)
+        new_anchors = jnp.stack(anchor_rows)
 
     udot = dynamics.forward_dynamics(model, state, tau, ext_wrenches=ext)
-    return dynamics.integrate(model, state, udot, h)
+    return dynamics.integrate(model, state, udot, h), new_anchors

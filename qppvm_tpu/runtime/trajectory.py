@@ -32,6 +32,19 @@ def min_jerk(p0, p1, t, duration):
     return p, v
 
 
+def min_jerk_pva(p0, p1, t, duration):
+    """Min-jerk with acceleration feedforward: returns (p, v, a). The accel
+    channel feeds acceleration-level tasks' ``refs[...]["a"]`` so fast
+    segments (e.g. a 300 ms swing-foot lift) track without huge servo
+    gains."""
+    s = jnp.clip(t / duration, 0.0, 1.0)
+    blend = 10.0 * s**3 - 15.0 * s**4 + 6.0 * s**5
+    dblend = (30.0 * s**2 - 60.0 * s**3 + 30.0 * s**4) / duration
+    ddblend = (60.0 * s - 180.0 * s**2 + 120.0 * s**3) / duration**2
+    d = p1 - p0
+    return p0 + d * blend, d * dblend, d * ddblend
+
+
 def waypoint_spline(waypoints, times, t):
     """Piecewise min-jerk through waypoints (K, d) at knot ``times`` (K,)."""
     waypoints = jnp.asarray(waypoints)

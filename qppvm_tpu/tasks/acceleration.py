@@ -47,8 +47,12 @@ class Cartesian(Task):
         # "w": runtime task weight (OpenSoT setWeight analog) — a dynamic
         # VALUE in the refs pytree so weight schedules (e.g. swing-foot
         # upweighting during contact switching) stay inside one compiled
-        # program with static shapes.
-        return {"R": R, "p": p, "v": z6, "a": z6, "w": jnp.ones((), p.dtype)}
+        # program with static shapes. "kp"/"kd" likewise: runtime servo
+        # gains (setLambda analog) so a swing foot can track a fast lift
+        # trajectory without a task rebuild.
+        return {"R": R, "p": p, "v": z6, "a": z6, "w": jnp.ones((), p.dtype),
+                "kp": jnp.asarray(self.kp, p.dtype),
+                "kd": jnp.asarray(self.kd, p.dtype)}
 
     def assemble(self, ctx: AssembleCtx):
         from qppvm_tpu.model.dynamics import frame_data, relative_frame_data
@@ -62,7 +66,9 @@ class Cartesian(Task):
                                           self.distal_link)
         ref = ctx.refs[self.name]
         e = spatial.pose_error(ref["R"], ref["p"], R, p)
-        xdd_des = ref["a"] + self.kp * e + self.kd * (ref["v"] - v)
+        kp = jnp.asarray(ref.get("kp", self.kp), ctx.dtype)
+        kd = jnp.asarray(ref.get("kd", self.kd), ctx.dtype)
+        xdd_des = ref["a"] + kp * e + kd * (ref["v"] - v)
         A_full = (J @ self.qddot.M)[self.indices]
         b_full = (xdd_des - bias - J @ self.qddot.c)[self.indices]
         w = jnp.asarray(self.weight, ctx.dtype) * jnp.asarray(
