@@ -82,11 +82,20 @@ def main():
         return w2
     t_solve = _chain(solve_fn, warm)
 
-    # full step
-    def full_fn(w):
-        _, w2, _ = plugin._step_impl(state, refs, w)
-        return w2
-    t_full = _chain(full_fn, warm)
+    # full step, chained through STATE: tau feeds back into (q, qd) via a
+    # cheap integrator, so model update + stack assembly CANNOT be hoisted
+    # out of the scan. (Round-2 flaw: a warm-only chain leaves state/refs as
+    # scan constants and XLA hoists everything that depends only on them —
+    # measured +15% step time on CPU once the feedback is added.)
+    def full_fn(carry):
+        st, w = carry
+        tau, w2, _ = plugin._step_impl(st, refs, w)
+        qd = jnp.clip(st.qd + 1e-3 * tau / 10.0, -5.0, 5.0)
+        st2 = dataclasses.replace(
+            st, q=jnp.clip(st.q + 1e-3 * qd, model.q_min, model.q_max),
+            qd=qd)
+        return (st2, w2)
+    t_full = _chain(full_fn, (state, warm))
 
     print(json.dumps({
         "robot": args.robot,

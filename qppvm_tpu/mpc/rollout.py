@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from qppvm_tpu.model import dynamics, kinematics
 from qppvm_tpu.model.robot import RobotModel, RobotState
-from qppvm_tpu.opt import hierarchy
+from qppvm_tpu.opt import hierarchy, linalg
 from qppvm_tpu.plugins.force_acc import ForceAccPlugin
 from qppvm_tpu.precision import f32_matmuls
 
@@ -48,6 +48,15 @@ class RolloutConfig:
     # unloading under 30 N pushes, unrecoverable within the budget).
     qp_rho_adapt_tol: float = 1e-3
     qp_rho_scale_min: float = 0.1
+    # Trimmed per-step fixed costs (the stage profiler measured the
+    # iteration-independent solver work — Ruiz + eq-elim pinv + K build +
+    # NS inverse — at 36 ms of the ~90 ms per 4096-batch rollout step):
+    # 2 Ruiz sweeps reach within a few percent of the 5-sweep equilibration
+    # on WBC stacks, and the eq-pinv NS is quadratic from an
+    # always-contractive start so 5 iterations already hit ~1e-9 on
+    # well-separated equality rows. Health-gated like everything else.
+    qp_scale_iters: int = 2
+    qp_pinv_ns_iters: int = 5
     # Relative-primal-residual threshold above which a rollout step counts
     # as a solver failure. Deliberately looser than the RT-loop gate
     # (ForceAccPlugin.RT_FAIL_TOL = 5e-3): rollout QPs run trimmed iteration
@@ -120,7 +129,7 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
     contact_idx = tuple(model.link_index(c) for c in plugin.contact_links)
 
     def one_step(carry, inp):
-        state, refs, warm, waist_p = carry
+        state, refs, warm, waist_p, binv = carry
         u_ctrl, push = inp
         waist_p = waist_p + u_ctrl * cfg.dt
         refs_t = dict(refs)
@@ -130,23 +139,34 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
 
         # THE SAME tick implementation as the RT plugin step (never drifts
         # from it), with the rollout's trimmed solver profile layered on top.
-        tau, warm, aux, _ = plugin.step_core(
+        tau, warm, aux, (data, *_rest) = plugin.step_core(
             state, refs_t, warm, solver_opts=rollout_solver_opts)
         # actuator saturation: the rollout must not promise torques the
         # drives cannot deliver (SimRobot clips identically)
         tau = jnp.clip(tau, -model.tau_max, model.tau_max)
 
+        # Warm mass-matrix inverse carried along the horizon: B drifts
+        # slowly at dt=10 ms, so a guarded 4-iteration NS refresh from last
+        # step's inverse replaces a 22-iteration cold inversion per sim
+        # step (the rollout profiler measured the cold path at 32 ms of the
+        # ~90 ms per-step total at batch 4096). The control tick's
+        # ModelData.B is reused — same state, no second CRBA.
+        Breg = data.B + 1e-9 * jnp.eye(model.nv, dtype=data.B.dtype)
+        binv = linalg.ns_warm_inverse(Breg, binv, iters=4)
+
         # physics with disturbance push on the base (world frame, at base)
         dtype = state.q.dtype
-        for _ in range(max(1, cfg.sim_substeps)):
-            kin = kinematics.fk(model, state)
-            J_all = kinematics.all_link_jacobians(model, kin)
+        for sub_i in range(max(1, cfg.sim_substeps)):
+            kin = data.kin if sub_i == 0 else kinematics.fk(model, state)
+            J_all = (data.J_all if sub_i == 0
+                     else kinematics.all_link_jacobians(model, kin))
             ext = _contact_forces(model, kin, J_all, state.u, contact_idx,
                                   cfg, dtype)
             # the push enters as an extra wrench on the first link's parent
             # chain via the base: apply at link 0's origin for simplicity
             udot = dynamics.forward_dynamics(
-                model, state, tau, ext_wrenches=ext, kin=kin)
+                model, state, tau, ext_wrenches=ext, kin=kin,
+                B=data.B, binv=binv)
             # add base push as direct base acceleration (world force / mass)
             state = dynamics.integrate(model, state, udot,
                                        cfg.dt / max(1, cfg.sim_substeps))
@@ -161,7 +181,7 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
         # reporting so infeasible scenarios are detectable in the MPC batch).
         prim = jnp.max(jnp.stack([i.prim_res for i in aux]))
         failed = hierarchy.solve_failed(aux, tol=cfg.fail_tol)
-        return (state, refs, warm, waist_p), (c, prim, failed)
+        return (state, refs, warm, waist_p, binv), (c, prim, failed)
 
     # Rollout solver profile: the plugin's own solver_opts (incl. method,
     # reg profile, any user overrides) with the horizon-chain knobs layered
@@ -173,7 +193,9 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
         assume_warm_kinv=cfg.qp_warm_kinv,
         warm_kinv_iters=cfg.qp_warm_kinv_iters,
         rho_adapt_tol=cfg.qp_rho_adapt_tol,
-        rho_scale_min=cfg.qp_rho_scale_min)
+        rho_scale_min=cfg.qp_rho_scale_min,
+        scale_iters=cfg.qp_scale_iters,
+        pinv_ns_iters=cfg.qp_pinv_ns_iters)
 
     @f32_matmuls
     def rollout(state0: RobotState, refs0, warm0, controls, scenario):
@@ -190,8 +212,16 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
         scenario = jax.tree.map(lambda a: jnp.asarray(a, dt), scenario)
         push = scenario["push"]  # (H, 3)
         waist_p0 = refs0["waist_task"]["p"]
-        (_, _, _, _), (costs, prims, fails) = jax.lax.scan(
-            one_step, (state0, refs0, warm0, waist_p0), (controls, push))
+        # warm Binv seed: ONE full cold inversion per rollout (amortized
+        # over the horizon). A zeros seed would make step 0 fall back to
+        # the 4-iteration cold path, which on a cond~1e3 mass matrix leaves
+        # ~98% inverse error — enough to corrupt the first sim step.
+        B0 = (dynamics.mass_matrix(model, state0)
+              + 1e-9 * jnp.eye(model.nv, dtype=dt))
+        binv0 = linalg.spd_inverse_ns(B0, iters=22, refine=2)
+        (_, _, _, _, _), (costs, prims, fails) = jax.lax.scan(
+            one_step, (state0, refs0, warm0, waist_p0, binv0),
+            (controls, push))
         health = {"prim_res_max": jnp.max(prims),
                   "solver_failed": jnp.any(fails)}
         return jnp.sum(costs), health

@@ -78,6 +78,8 @@ def solve(
     rho_adapt_tol: float = 0.0,
     rho_scale_min: float = 1e-2,
     cold_ns_iters: Optional[int] = None,
+    scale_iters: int = 5,
+    pinv_ns_iters: int = 7,
     reg_diag: Optional[jax.Array] = None,
     method: str = "admm",
     pdip_iters: int = 25,
@@ -146,6 +148,8 @@ def solve(
                        rho_adapt_tol=rho_adapt_tol,
                        rho_scale_min=rho_scale_min,
                        cold_ns_iters=cold_ns_iters,
+                       scale_iters=scale_iters,
+                       pinv_ns_iters=pinv_ns_iters,
                        method=method, pdip_iters=pdip_iters,
                        eq_elim=eq_elim)
 

@@ -56,6 +56,40 @@ def spd_inverse_ns(K: jax.Array, iters: int = 24, refine: int = 2) -> jax.Array:
     return d[..., :, None] * X * d[..., None, :]
 
 
+def ns_warm_inverse(K: jax.Array, X_guess: jax.Array,
+                    iters: int = 4) -> jax.Array:
+    """Newton-Schulz inverse hot-started from ``X_guess`` (e.g. last tick's
+    inverse of a slowly-drifting SPD matrix), guarded by the contraction
+    bound sqrt(||E||_1 ||E||_inf) < 0.9 with a Jacobi-prescaled cold
+    fallback — the same guard/fallback strategy as the QP solver's KKT
+    reuse (opt/qp.py _ns_warm), packaged for other slowly-varying inverses
+    (mass matrix along an MPC rollout horizon). Batched over leading dims.
+
+    The cold fallback runs the SAME ``iters`` budget (vmap-friendly single
+    path); callers whose cold path needs more accuracy should add an
+    iterative-refinement step on the solve that consumes the inverse."""
+    n = K.shape[-1]
+    I = jnp.eye(n, dtype=K.dtype)
+    E = I - X_guess @ K
+    absE = jnp.abs(E)
+    err = jnp.sqrt(jnp.max(jnp.sum(absE, axis=-2), axis=-1) *
+                   jnp.max(jnp.sum(absE, axis=-1), axis=-1))
+    err = jnp.where(jnp.isfinite(err), err, 2.0)
+    dg = jnp.einsum("...ii->...i", K)
+    dinv = 1.0 / jnp.maximum(dg, 1e-30)
+    sq = jnp.sqrt(dinv)
+    Ks_norm1 = jnp.max(jnp.sum(
+        jnp.abs(K) * sq[..., :, None] * sq[..., None, :], axis=-2), axis=-1)
+    cold = (I * (dinv / jnp.maximum(Ks_norm1, 1e-30))[..., None, :])
+    X = jnp.where((err < 0.9)[..., None, None], X_guess, cold)
+
+    def body(X, _):
+        return X @ (2.0 * I - K @ X), None
+
+    X, _ = jax.lax.scan(body, X, None, length=iters)
+    return jnp.where(jnp.all(jnp.isfinite(X)), X, cold)
+
+
 def spd_inverse(K: jax.Array, method: str = "ns", **kw) -> jax.Array:
     if method == "chol":
         return spd_inverse_chol(K)

@@ -154,6 +154,7 @@ def solve(
     n_eq_tail: int = 0,
     eq_pin: float = 1.0,
     cold_ns_iters: Optional[int] = None,
+    pinv_ns_iters: int = 7,
 ):
     """One dense QP solve. Returns (x, new_state, info). vmap for batches.
 
@@ -228,7 +229,8 @@ def solve(
         def _pinv_body(X, _):
             return X @ (2.0 * I_eq - Es @ X), None
 
-        EpT, _ = jax.lax.scan(_pinv_body, EpT, None, length=7)
+        EpT, _ = jax.lax.scan(_pinv_body, EpT, None,
+                              length=pinv_ns_iters)
         Pn = I_n - EpT @ Es                    # tangent-space projector
         x_p = EpT @ b_es                       # particular solution (scaled)
         # one linear refinement mops up dtype roundoff

@@ -21,7 +21,7 @@ CONTACTS = ("foot_fl", "foot_fr", "foot_hr", "foot_hl")
 def test_centaur_model_topology():
     model = zoo.centaur()
     assert model.floating
-    assert model.nv == 33 and model.nj == 27
+    assert model.nv == 37 and model.nj == 31
     for link in CONTACTS + ("arm1_7", "arm2_7", "torso", "pelvis"):
         model.link_index(link)  # raises KeyError if missing
 

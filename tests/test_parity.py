@@ -404,8 +404,12 @@ def test_force_acc_trace_matches_independent_law():
     from qppvm_tpu.runtime.robot_interface import SimRobot
 
     model = zoo.quadruped()
+    # force_reg_weight=0: this oracle certifies the REFERENCE control law,
+    # whose stack has no force-distribution task
+    # (/root/reference/src/ForceAcc.cpp:131-133); the ForceReg anchor is a
+    # framework extension validated separately (contact-switch e2e).
     plugin = ForceAccPlugin(
-        model, iters=400, dtype=DT,
+        model, iters=400, dtype=DT, force_reg_weight=0.0,
         solver_opts=dict(rho_updates=3, refine=3, polish_rounds=2,
                          assume_warm_kinv=False))
     st = model.home_state().astype(DT)
