@@ -26,7 +26,8 @@ def main():
     ap.add_argument("--samples", type=int, default=512)
     ap.add_argument("--horizon", type=int, default=8)
     ap.add_argument("--robot", default="humanoid")
-    ap.add_argument("--qp-iters", type=int, default=12)  # saturating: see docs/BENCHMARKS.md MPC sweep
+    ap.add_argument("--qp-iters", type=int, default=12)
+    ap.add_argument("--warm-kinv-iters", type=int, default=8)  # saturating: see docs/BENCHMARKS.md MPC sweep
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -50,7 +51,8 @@ def main():
     mesh = meshlib.make_mesh() if len(jax.devices()) > 1 else None
     mppi = MPPIConfig(n_samples=args.samples, horizon=args.horizon,
                       push_std=30.0)
-    rcfg = RolloutConfig(horizon=args.horizon, qp_iters=args.qp_iters)
+    rcfg = RolloutConfig(horizon=args.horizon, qp_iters=args.qp_iters,
+                         qp_warm_kinv_iters=args.warm_kinv_iters)
     mpc = SamplingMPC(plugin, mppi, rcfg, mesh=mesh)
     U = mpc.init_plan()
     key = jax.random.PRNGKey(0)

@@ -277,8 +277,31 @@ def frame_data(model: RobotModel, data: "ModelData", name: str):
         return R, p, J, vel, bias
     li, E_off, p_off = spec
     if li < 0:
-        raise NotImplementedError("extra frames on the root link of floating "
-                                  "models: attach to a child link instead")
+        # frame rigidly attached to the root link (e.g. an MJCF massless
+        # body hanging off the floating base): transfer base quantities by
+        # the same rigid point offset as the child-link path below
+        Rl, pl = kin.base_R, kin.base_p
+        Jl = kinematics.link_jacobian(model, kin, model.root_name)
+        if model.floating:
+            w_b, v_b = data.base_vel[:3], data.base_vel[3:]
+            vl = jnp.concatenate([Rl @ v_b, Rl @ w_b])
+            bl = jnp.concatenate([Rl @ jnp.cross(w_b, v_b),
+                                  jnp.zeros(3, pl.dtype)])
+        else:
+            vl = jnp.zeros(6, pl.dtype)
+            bl = jnp.zeros(6, pl.dtype)
+        E_off = jnp.asarray(E_off, Rl.dtype)
+        p_off = jnp.asarray(p_off, pl.dtype)
+        R = Rl @ E_off
+        p = pl + Rl @ p_off
+        r = Rl @ p_off
+        S = spatial.skew(r)
+        J = jnp.concatenate([Jl[:3] - S @ Jl[3:], Jl[3:]], axis=0)
+        w = vl[3:]
+        vel = jnp.concatenate([vl[:3] + jnp.cross(w, r), w])
+        bias_lin = (bl[:3] + jnp.cross(bl[3:], r)
+                    + jnp.cross(w, jnp.cross(w, r)))
+        return R, p, J, vel, jnp.concatenate([bias_lin, bl[3:]])
     Rl, pl = kin.R[li], kin.p[li]
     E_off = jnp.asarray(E_off, Rl.dtype)
     p_off = jnp.asarray(p_off, pl.dtype)
