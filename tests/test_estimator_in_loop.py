@@ -57,3 +57,52 @@ def test_quadruped_stand_on_estimated_state():
     assert abs(z1 - z0) < 0.05, (z0, z1)
     assert np.max(pos_err) < 0.02, np.max(pos_err)       # < 2 cm
     assert np.mean(vel_err) < 0.05, np.mean(vel_err)     # < 5 cm/s mean
+
+
+def test_humanoid_stand_on_estimated_state():
+    """Flagship-humanoid analog (VERDICT r2 missing #4): the config-4 robot
+    standing closed on leg-odometry + IMU estimates only."""
+    model = zoo.humanoid()
+    contacts = ("l_sole", "r_sole")
+    patch = [[0.10, 0.05, 0.0], [0.10, -0.05, 0.0],
+             [-0.06, 0.05, 0.0], [-0.06, -0.05, 0.0]]
+    plugin = ForceAccPlugin(model, contact_links=contacts,
+                            waist_link="pelvis", iters=60)
+    st = model.home_state()
+    kin = kinematics.fk(model, st)
+    foot_z = min(float(kin.p[model.link_index(c)][2]) for c in contacts)
+    st = dataclasses.replace(
+        st, base_pos=st.base_pos - jnp.asarray([0.0, 0.0, foot_z],
+                                               st.base_pos.dtype))
+    robot = SimRobot(model, state=st, dt=1e-3, substeps=4,
+                     contact_links=contacts, ground_z=0.0,
+                     contact_offsets={c: patch for c in contacts})
+
+    est = FloatingBaseEstimator(model, contacts)
+    est_state = est.init(robot.state)
+    refs, warm, _ = plugin.on_start(robot.state)
+
+    pos_err = []
+    for i in range(400):
+        imu = robot.get_imu()
+        state_hat, est_state = est.update(
+            est_state, robot.get_motor_position(),
+            robot.get_motor_velocity(), imu.orientation,
+            imu.angular_velocity)
+        tau, warm, aux = plugin.control_loop(state_hat, refs, warm)
+        assert not bool(aux.solver_failed), f"tick {i}"
+        robot.set_reference(tau_ref=tau, q_ref=state_hat.q)
+        robot.move()
+        pos_err.append(float(jnp.linalg.norm(
+            state_hat.base_pos - robot.state.base_pos)))
+
+    z0 = float(st.base_pos[2])
+    z1 = float(robot.state.base_pos[2])
+    assert abs(z1 - z0) < 0.05, (z0, z1)
+    # transient: anchors are set at the rigid starting pose, then the sole
+    # patches compress ~1 cm as the compliant sim settles; steady state is
+    # what the controller lives on
+    assert np.mean(pos_err[200:]) < 0.03, np.mean(pos_err[200:])
+    assert np.max(pos_err) < 0.05, np.max(pos_err)
+    up = float(robot.state.base_rot[2, 2])
+    assert up > 0.98, up

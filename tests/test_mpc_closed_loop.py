@@ -1,6 +1,9 @@
 """Closed-loop sampling MPC (config 5 end-to-end): MPPI re-plans while the
 WBC tick runs against the contact sim, plan -> act -> shift -> re-plan.
-The round-1 pipeline only exercised single open-loop planning steps."""
+The round-1 pipeline only exercised single open-loop planning steps;
+round 3 closes the ESTIMATION loop too — both the RT tick and the planner
+consume the leg-odometry+IMU estimate, never simulator ground truth
+(/root/reference/src/ForceAcc.cpp:256-282 sense->sync path)."""
 import dataclasses
 
 import jax
@@ -11,6 +14,7 @@ from qppvm_tpu.model import zoo
 from qppvm_tpu.mpc.rollout import RolloutConfig, standing_state
 from qppvm_tpu.mpc.sampling import MPPIConfig, SamplingMPC
 from qppvm_tpu.plugins.force_acc import ForceAccPlugin
+from qppvm_tpu.runtime.estimator import FloatingBaseEstimator
 from qppvm_tpu.runtime.robot_interface import SimRobot
 
 CONTACTS = ("l_sole", "r_sole")
@@ -24,6 +28,8 @@ def test_humanoid_push_recovery_closed_loop():
     robot = SimRobot(model, state=st0, dt=1e-3, substeps=2,
                      contact_links=CONTACTS)
     refs, warm, initial_waist = plugin.on_start(robot.state)
+    est = FloatingBaseEstimator(model, CONTACTS)
+    est_state = est.init(robot.state)
 
     mppi = MPPIConfig(n_samples=16, horizon=4, noise_std=0.2, push_std=20.0)
     rcfg = RolloutConfig(horizon=4, qp_iters=15, dt=0.02)
@@ -36,7 +42,11 @@ def test_humanoid_push_recovery_closed_loop():
     fail_fracs = []
     z_min = float(robot.state.base_pos[2])
     for i in range(400):
-        state = robot.state
+        imu = robot.get_imu()
+        state, est_state = est.update(
+            est_state, robot.get_motor_position(),
+            robot.get_motor_velocity(), imu.orientation,
+            imu.angular_velocity)
         if i % plan_every == 0:
             key, k = jax.random.split(key)
             U, info = mpc.plan(k, state, refs, warm, U)
