@@ -63,7 +63,9 @@ def main():
                             waist_link="pelvis", iters=12,
                             solver_opts=dict(rho_updates=0,
                                              warm_kinv_iters=4,
-                                             cold_ns_iters=10))
+                                             cold_ns_iters=10,
+                                             scale_iters=2,
+                                             pinv_ns_iters=5))
     state = standing_state(model, contacts)
     refs, warm, _ = plugin.on_start(state)
 

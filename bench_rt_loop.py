@@ -66,7 +66,9 @@ def main():
                             waist_link="pelvis", iters=12,
                             solver_opts=dict(rho_updates=0,
                                              warm_kinv_iters=4,
-                                             cold_ns_iters=10))
+                                             cold_ns_iters=10,
+                                             scale_iters=2,
+                                             pinv_ns_iters=5))
     st0 = ri.standing_state(model, contacts)
     robot = ri.SimRobot(model, state=st0, dt=1e-3, substeps=args.substeps,
                         contact_links=contacts, ground_z=0.0,

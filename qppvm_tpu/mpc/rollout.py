@@ -100,8 +100,11 @@ def standing_state(model: RobotModel, contact_links: Sequence[str],
                                               shift.astype(st.base_pos.dtype)]))
 
 
-def _contact_forces(model, kin, J_all, u, contact_idx, cfg, dtype):
-    """Compliant ground model (matches runtime.robot_interface._sim_step)."""
+def _contact_forces(model, kin, J_all, u, contact_idx, cfg, dtype, mu=None):
+    """Compliant ground model (matches runtime.robot_interface._sim_step).
+    ``mu``: optional traced friction coefficient (domain randomization);
+    defaults to the static cfg.mu."""
+    mu = cfg.mu if mu is None else mu
     ext = jnp.zeros((model.nj, 6), dtype)
     for li in contact_idx:
         p = kin.p[li]
@@ -110,7 +113,7 @@ def _contact_forces(model, kin, J_all, u, contact_idx, cfg, dtype):
         in_contact = pen > 0.0
         fz = jnp.maximum(cfg.contact_kp * pen - cfg.contact_kd * v[2], 0.0)
         ft = -cfg.contact_kd * v[:2] * 5.0
-        ft_max = cfg.mu * fz
+        ft_max = mu * fz
         ft = ft * jnp.minimum(1.0, ft_max / (jnp.linalg.norm(ft) + 1e-9))
         f = jnp.where(in_contact, jnp.concatenate([ft, fz[None]]),
                       jnp.zeros(3, dtype))
@@ -118,26 +121,118 @@ def _contact_forces(model, kin, J_all, u, contact_idx, cfg, dtype):
     return ext
 
 
+def make_swing_primitive(plugin: ForceAccPlugin, *, z_lift: float = 0.06,
+                         t0_max: float = 0.5, dur_frac: float = 0.5,
+                         dxy_max: float = 0.25):
+    """Footstep-recovery primitive: a LOW-DIMENSIONAL continuous decision
+    ``theta`` that schedules one swing inside the MPC horizon, shared by the
+    rollout dynamics and the execution harness (so the plan and the robot
+    run the SAME primitive).
+
+        theta = {"swing": (nc,) logits  — which feet swing (soft choice),
+                 "t0":    ()   logit    — when the swing starts,
+                 "dxy":   (2,)          — where the foothold moves}
+
+    At horizon fraction t the per-foot swing activation is
+    ``a_i * sin(pi * ph)`` with ``ph = clip((t - t0)/dur, 0, 1)`` — the
+    contact gate ramps OFF and back ON continuously (the validated
+    contact-switch recipe, runtime/contact_switch.py) while the foot
+    reference lifts ``z_lift * sin(pi*ph)`` and advances ``dxy`` by a
+    smoothstep. Everything is smooth in theta, so MPPI's exponential
+    averaging of sampled thetas stays meaningful, and fractional gates are
+    exactly the gate semantics the constraint layer defines
+    (tasks/generic.py). Lean-only planning is theta = init_theta (swing
+    logits at -4 -> activation ~0.02).
+
+    Returns (apply, init_theta): ``apply(refs_t, theta, t_frac) -> refs_t``.
+    """
+    links = plugin.contact_links
+
+    def apply(refs_t, theta, t_frac):
+        a = jax.nn.sigmoid(theta["swing"])            # (nc,)
+        t0 = jax.nn.sigmoid(theta["t0"]) * t0_max
+        ph = jnp.clip((t_frac - t0) / dur_frac, 0.0, 1.0)
+        box = jnp.sin(jnp.pi * ph)
+        smooth = ph * ph * (3.0 - 2.0 * ph)
+        dxy = jnp.clip(theta["dxy"], -dxy_max, dxy_max)
+        refs_t = dict(refs_t)
+        gates = refs_t["contacts"]["active"] * (1.0 - a * box)
+        refs_t["contacts"] = {"active": gates}
+        dp = jnp.concatenate([dxy * smooth,
+                              jnp.reshape(z_lift * box, (1,))])
+        for i, cl in enumerate(links):
+            key = cl + "_cartesian"
+            tr = dict(refs_t[key])
+            tr["p"] = tr["p"] + a[i] * dp
+            refs_t[key] = tr
+        return refs_t
+
+    def init_theta(dtype=jnp.float32):
+        return {"swing": jnp.full((len(links),), -4.0, dtype),
+                "t0": jnp.zeros((), dtype),
+                "dxy": jnp.zeros((2,), dtype)}
+
+    return apply, init_theta
+
+
 def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
-                    cost_fn: Callable):
-    """Build rollout(state0, refs0, warm0, controls, scenario) -> (cost, aux).
+                    cost_fn: Callable, swing=None):
+    """Build rollout(state0, refs0, warm0, controls, scenario[, theta])
+    -> (cost, health).
 
     ``controls``: (H, 3) waist-reference velocity offsets integrated into the
     waist position reference each step (the MPC decision sequence).
-    ``scenario``: pytree of domain-randomization inputs; here a dict with
-    "push" (H, 3) external base force and "mass_scale" () scaling factor.
+    ``scenario``: pytree of domain-randomization inputs:
+      - "push"       (H, 3) external base force [required]
+      - "mass_scale" ()     true-robot inertia scale: the SIM runs the
+        scaled model while the CONTROLLER keeps the nominal one —
+        model-mismatch robustness, not merely disturbance robustness
+      - "mu_scale"   ()     ground-friction scale on cfg.mu
+      - "gate_seq"   (H, nc) per-step contact-gate multipliers (exercises
+        the contact-switch machinery INSIDE the horizon; requires a
+        switchable_contacts plugin)
+    ``swing``: optional footstep primitive (make_swing_primitive's apply);
+    the rollout then takes a trailing ``theta`` decision argument.
     """
     model = plugin.model
     contact_idx = tuple(model.link_index(c) for c in plugin.contact_links)
+    auto_gate = plugin.switchable_contacts
+    # full-nv armature diagonal (zeros on the floating 6): B scales with the
+    # body inertias EXCEPT this additive rotor term, so the scenario-scaled
+    # sim mass matrix is the cheap affine update s*B + (1-s)*diag(arm)
+    arm_full = jnp.zeros(model.nv)
+    off6 = 6 if model.floating else 0
+    arm_full = arm_full.at[off6:].set(model.armature)
 
     def one_step(carry, inp):
-        state, refs, warm, waist_p, binv = carry
-        u_ctrl, push = inp
+        state, refs, warm, waist_p, binv, scen, theta = carry
+        u_ctrl, push, gate_t, t_frac = inp
         waist_p = waist_p + u_ctrl * cfg.dt
         refs_t = dict(refs)
         wt = dict(refs_t["waist_task"])
         wt["p"] = waist_p
         refs_t["waist_task"] = wt
+        if gate_t is not None:
+            ct = dict(refs_t["contacts"])
+            ct["active"] = ct["active"] * gate_t
+            refs_t["contacts"] = ct
+        if swing is not None and theta is not None:
+            refs_t = swing(refs_t, theta, t_frac)
+        if auto_gate:
+            # Contact-aware gating: a foot that has physically left the
+            # ground cannot carry its fz >= fz_min unilateral bound — a
+            # TOPPLING rollout would otherwise be infeasible BY
+            # CONSTRUCTION (measured: 100% fail_frac at a 2 m/s shove) and
+            # the planner blind exactly where planning matters. Smooth
+            # height gate, composed with command/scenario gates.
+            kin_g = kinematics.fk(model, state)
+            fz_gate = []
+            for li in contact_idx:
+                fz_gate.append(jax.nn.sigmoid(
+                    (0.01 - kin_g.p[li][2]) / 0.004))
+            ct = dict(refs_t["contacts"])
+            ct["active"] = ct["active"] * jnp.stack(fz_gate)
+            refs_t["contacts"] = ct
 
         # THE SAME tick implementation as the RT plugin step (never drifts
         # from it), with the rollout's trimmed solver profile layered on top.
@@ -153,8 +248,18 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
         # step (the rollout profiler measured the cold path at 32 ms of the
         # ~90 ms per-step total at batch 4096). The control tick's
         # ModelData.B is reused — same state, no second CRBA.
-        Breg = data.B + 1e-9 * jnp.eye(model.nv, dtype=data.B.dtype)
+        # Domain randomization: the SIM side runs the mass-scaled model
+        # (controller stays nominal — model mismatch is the point); the
+        # scaled mass matrix is affine in data.B (armature is additive)
+        ms = scen["mass_scale"]
+        model_s = dataclasses.replace(
+            model, inertia=model.inertia * ms,
+            base_inertia=model.base_inertia * ms)
+        B_s = ms * data.B + (1.0 - ms) * jnp.diag(
+            arm_full.astype(data.B.dtype))
+        Breg = B_s + 1e-9 * jnp.eye(model.nv, dtype=data.B.dtype)
         binv = linalg.ns_warm_inverse(Breg, binv, iters=4)
+        mu_t = cfg.mu * scen["mu_scale"]
 
         # physics with disturbance push on the base (world frame, at base)
         dtype = state.q.dtype
@@ -163,12 +268,12 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
             J_all = (data.J_all if sub_i == 0
                      else kinematics.all_link_jacobians(model, kin))
             ext = _contact_forces(model, kin, J_all, state.u, contact_idx,
-                                  cfg, dtype)
+                                  cfg, dtype, mu=mu_t)
             # the push enters as an extra wrench on the first link's parent
             # chain via the base: apply at link 0's origin for simplicity
             udot = dynamics.forward_dynamics(
-                model, state, tau, ext_wrenches=ext, kin=kin,
-                B=data.B, binv=binv)
+                model_s, state, tau, ext_wrenches=ext, kin=kin,
+                B=B_s, binv=binv)
             # add base push as direct base acceleration (world force / mass)
             state = dynamics.integrate(model, state, udot,
                                        cfg.dt / max(1, cfg.sim_substeps))
@@ -183,7 +288,8 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
         # reporting so infeasible scenarios are detectable in the MPC batch).
         prim = jnp.max(jnp.stack([i.prim_res for i in aux]))
         failed = hierarchy.solve_failed(aux, tol=cfg.fail_tol)
-        return (state, refs, warm, waist_p, binv), (c, prim, failed)
+        return (state, refs, warm, waist_p, binv, scen, theta), \
+            (c, prim, failed)
 
     # Rollout solver profile: the plugin's own solver_opts (incl. method,
     # reg profile, any user overrides) with the horizon-chain knobs layered
@@ -200,7 +306,8 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
         pinv_ns_iters=cfg.qp_pinv_ns_iters)
 
     @f32_matmuls
-    def rollout(state0: RobotState, refs0, warm0, controls, scenario):
+    def rollout(state0: RobotState, refs0, warm0, controls, scenario,
+                theta=None):
         """Returns (total_cost, health) where ``health`` reports the worst
         QP residual / failure flag over the horizon — the batch-MPC analog
         of the reference's per-tick solve-failure signal
@@ -213,6 +320,14 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
         controls = jnp.asarray(controls, dt)
         scenario = jax.tree.map(lambda a: jnp.asarray(a, dt), scenario)
         push = scenario["push"]  # (H, 3)
+        H = push.shape[0]
+        one = jnp.ones((), dt)
+        scen = {"mass_scale": scenario.get("mass_scale", one),
+                "mu_scale": scenario.get("mu_scale", one)}
+        gate_seq = scenario.get("gate_seq", None)
+        t_fracs = (jnp.arange(H, dtype=dt) + 0.5) / H
+        if theta is not None:
+            theta = jax.tree.map(lambda a: jnp.asarray(a, dt), theta)
         waist_p0 = refs0["waist_task"]["p"]
         # warm Binv seed: ONE full cold inversion per rollout (amortized
         # over the horizon). A zeros seed would make step 0 fall back to
@@ -221,9 +336,11 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
         B0 = (dynamics.mass_matrix(model, state0)
               + 1e-9 * jnp.eye(model.nv, dtype=dt))
         binv0 = linalg.spd_inverse_ns(B0, iters=22, refine=2)
-        (_, _, _, _, _), (costs, prims, fails) = jax.lax.scan(
-            one_step, (state0, refs0, warm0, waist_p0, binv0),
-            (controls, push))
+        xs = (controls, push, gate_seq, t_fracs)
+        (_, _, _, _, _, _, _), (costs, prims, fails) = jax.lax.scan(
+            one_step,
+            (state0, refs0, warm0, waist_p0, binv0, scen, theta),
+            xs)
         health = {"prim_res_max": jnp.max(prims),
                   "solver_failed": jnp.any(fails)}
         return jnp.sum(costs), health

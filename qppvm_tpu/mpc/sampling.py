@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from qppvm_tpu.mpc.rollout import RolloutConfig, default_cost, make_rollout_fn
+from qppvm_tpu.mpc.rollout import (RolloutConfig, default_cost,
+                                   make_rollout_fn, make_swing_primitive)
 from qppvm_tpu.plugins.force_acc import ForceAccPlugin
 
 
@@ -33,6 +34,19 @@ class MPPIConfig:
     lambda_: float = 1.0
     noise_std: float = 0.15
     push_std: float = 0.0     # domain randomization: random base pushes (N)
+    # Domain randomization beyond pushes (VERDICT r2 missing #2): per-
+    # rollout true-robot mass scale (lognormal-ish, the CONTROLLER keeps
+    # the nominal model) and ground-friction scale (uniform in
+    # [1 - mu_scale_range, 1]). 0 disables.
+    mass_scale_std: float = 0.0
+    mu_scale_range: float = 0.0
+    # Footstep recovery: adds the swing-primitive decision theta
+    # (rollout.make_swing_primitive) next to the waist-velocity plan, so
+    # the planner can choose to STEP, not only lean. theta is sampled and
+    # exponentially averaged exactly like U.
+    step_recovery: bool = False
+    theta_noise_std: float = 1.0
+    dxy_noise_std: float = 0.08
     nu: int = 3               # control dim (waist ref velocity)
     # Additive cost for rollouts whose QP chain failed (large residual /
     # non-finite objective): they stay detectable in ``info`` but never
@@ -52,31 +66,57 @@ class SamplingMPC:
         self.mppi = mppi
         self.rcfg = rollout_cfg or RolloutConfig(horizon=mppi.horizon)
         self.mesh = mesh
-        self.rollout = make_rollout_fn(plugin, self.rcfg, cost_fn)
+        self.swing = None
+        self.init_theta = None
+        if mppi.step_recovery:
+            self.swing, self.init_theta = make_swing_primitive(plugin)
+        self.rollout = make_rollout_fn(plugin, self.rcfg, cost_fn,
+                                       swing=self.swing)
         self._step = jax.jit(self._step_impl)
 
     def init_plan(self, dtype=jnp.float32):
         return jnp.zeros((self.mppi.horizon, self.mppi.nu), dtype)
 
-    def _step_impl(self, key, state, refs, warm, U_nom):
+    def _step_impl(self, key, state, refs, warm, U_nom, theta_nom=None):
         m = self.mppi
         K = m.n_samples
-        k_noise, k_push = jax.random.split(key)
+        k_noise, k_push, k_ms, k_mu, k_th = jax.random.split(key, 5)
         noise = m.noise_std * jax.random.normal(
             k_noise, (K, m.horizon, m.nu), U_nom.dtype)
         U = U_nom[None] + noise                           # (K, H, nu)
         push = m.push_std * jax.random.normal(
             k_push, (K, m.horizon, 3), U_nom.dtype)
+        scenario = {"push": push}
+        if m.mass_scale_std > 0.0:
+            scenario["mass_scale"] = jnp.exp(
+                m.mass_scale_std * jax.random.normal(k_ms, (K,), U_nom.dtype))
+        if m.mu_scale_range > 0.0:
+            scenario["mu_scale"] = 1.0 - m.mu_scale_range * jax.random.uniform(
+                k_mu, (K,), U_nom.dtype)
+        theta = None
+        if theta_nom is not None:
+            ks = {kk: kv for kk, kv in zip(
+                theta_nom, jax.random.split(k_th, len(theta_nom)))}
+            def _jitter(kk, v):
+                std = (m.dxy_noise_std if kk == "dxy" else m.theta_noise_std)
+                return v[None] + std * jax.random.normal(
+                    ks[kk], (K,) + v.shape, v.dtype)
+            theta = {kk: _jitter(kk, v) for kk, v in theta_nom.items()}
 
         if self.mesh is not None:
             spec = NamedSharding(self.mesh, P("rollout"))
             U = jax.lax.with_sharding_constraint(U, spec)
-            push = jax.lax.with_sharding_constraint(push, spec)
+            scenario = jax.tree.map(
+                lambda a: jax.lax.with_sharding_constraint(a, spec), scenario)
 
-        def one(Uk, pushk):
-            return self.rollout(state, refs, warm, Uk, {"push": pushk})
-
-        costs, health = jax.vmap(one)(U, push)            # (K,), dict of (K,)
+        if theta is None:
+            def one(Uk, scen_k):
+                return self.rollout(state, refs, warm, Uk, scen_k)
+            costs, health = jax.vmap(one)(U, scenario)
+        else:
+            def one(Uk, scen_k, th_k):
+                return self.rollout(state, refs, warm, Uk, scen_k, th_k)
+            costs, health = jax.vmap(one)(U, scenario, theta)
         failed = health["solver_failed"]
         costs = jnp.where(jnp.isfinite(costs), costs, m.fail_penalty)
         costs = costs + m.fail_penalty * failed.astype(costs.dtype)
@@ -84,6 +124,11 @@ class SamplingMPC:
         w = jnp.exp(-(costs - beta) / m.lambda_)
         w = w / jnp.sum(w)                                # all-reduce sum
         U_new = jnp.einsum("k,khu->hu", w, U)
+        if theta is not None:
+            theta_new = jax.tree.map(
+                lambda v: jnp.einsum("k,k...->...", w, v), theta)
+        else:
+            theta_new = None
         info = {
             "cost_min": beta,
             "cost_mean": jnp.mean(costs),
@@ -93,12 +138,19 @@ class SamplingMPC:
             "solver_fail_frac": jnp.mean(failed.astype(costs.dtype)),
             "prim_res_max": jnp.max(health["prim_res_max"]),
         }
+        if theta_new is not None:
+            return (U_new, theta_new), info
         return U_new, info
 
     def plan(self, key, state, refs, warm, U_nom):
         """One MPC re-planning step. Returns (U_new, info). The first row of
         U_new is the control applied this tick; shift for the next tick."""
         return self._step(key, state, refs, warm, U_nom)
+
+    def plan_step(self, key, state, refs, warm, U_nom, theta_nom):
+        """Re-plan with the footstep-recovery decision channel
+        (mppi.step_recovery): returns ((U_new, theta_new), info)."""
+        return self._step(key, state, refs, warm, U_nom, theta_nom)
 
     @staticmethod
     def shift_plan(U):

@@ -46,6 +46,9 @@ PROFILES = {
     "eq_w6": dict(rho_updates=0, warm_kinv_iters=6),       # pair w/ --iters 16
     "eq_w4": dict(rho_updates=0, warm_kinv_iters=4),       # pair w/ --iters 10-12
     "eq_w3": dict(rho_updates=0, warm_kinv_iters=3),       # pair w/ --iters 8
+    # eq_w4 + trimmed per-tick fixed costs (2 Ruiz sweeps, 5 eq-pinv NS)
+    "eq_w4_trim": dict(rho_updates=0, warm_kinv_iters=4, cold_ns_iters=10,
+                       scale_iters=2, pinv_ns_iters=5),
 }
 
 
