@@ -104,7 +104,9 @@ class SamplingMPC:
             theta = {kk: _jitter(kk, v) for kk, v in theta_nom.items()}
 
         if self.mesh is not None:
-            spec = NamedSharding(self.mesh, P("rollout"))
+            # shard the sample axis over ALL mesh axes (a 2-D (host,
+            # rollout) mesh flattens onto the batch; 1-D meshes unchanged)
+            spec = NamedSharding(self.mesh, P(self.mesh.axis_names))
             U = jax.lax.with_sharding_constraint(U, spec)
             scenario = jax.tree.map(
                 lambda a: jax.lax.with_sharding_constraint(a, spec), scenario)
