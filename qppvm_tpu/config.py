@@ -107,6 +107,12 @@ class MPCConfig:
     horizon: int = 8
     noise_std: float = 0.05
     push_std: float = 0.0
+    # domain randomization beyond pushes (mpc/sampling.py): true-model mass
+    # scale (controller keeps the nominal model) + ground-friction scale
+    mass_scale_std: float = 0.0
+    mu_scale_range: float = 0.0
+    # footstep-recovery decision channel (rollout.make_swing_primitive)
+    step_recovery: bool = False
     lambda_: float = 1.0
     qp_iters: int = 10
     mesh_axis: str = "rollout"         # DP over rollouts (SURVEY.md §2c)
@@ -221,6 +227,9 @@ def build_mpc(cfg: ScenarioConfig, plugin, mesh=None):
     from qppvm_tpu.mpc.sampling import MPPIConfig, SamplingMPC
     mppi = MPPIConfig(n_samples=m.n_samples, horizon=m.horizon,
                       noise_std=m.noise_std, push_std=m.push_std,
+                      mass_scale_std=m.mass_scale_std,
+                      mu_scale_range=m.mu_scale_range,
+                      step_recovery=m.step_recovery,
                       lambda_=m.lambda_)
     rcfg = RolloutConfig(horizon=m.horizon, qp_iters=m.qp_iters)
     return SamplingMPC(plugin, mppi, rcfg, mesh=mesh)

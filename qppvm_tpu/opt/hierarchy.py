@@ -46,15 +46,22 @@ class StackData:
     # DynamicFeasibility) — the solver eliminates them by projection
     # instead of penalizing them (see opt/qp.py n_eq_head).
     n_eq: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # STATIC: False when NO constraint in the stack is a box on x (e.g. the
+    # ForceAcc stacks: wrench bounds are ROWS on affine expressions, and
+    # x itself is unbounded). The solver then drops the identity block
+    # entirely — on the humanoid ForceAcc stack that is 44 of ~94 ADMM
+    # constraint rows that would otherwise be carried at +/-1e20 bounds.
+    has_box: bool = dataclasses.field(metadata=dict(static=True),
+                                      default=True)
 
 
 def warm_start_init(stack: StackData) -> Tuple[qp.QPState, ...]:
     n = stack.lb.shape[0]
-    mc = stack.C.shape[0]
+    mc = stack.C.shape[0] + (n if stack.has_box else 0)
     states = []
     extra = 0
     for lv in stack.levels:
-        m = mc + n + extra
+        m = mc + extra
         states.append(qp.QPState.zero(n, m, stack.lb.dtype))
         extra += lv.A.shape[0]
     return tuple(states)
@@ -174,9 +181,14 @@ def solve(
             # would otherwise sag toward 0 at large eps).
             qv = qv - rvec * warm[k].x
 
-        rows = [stack.C, I] + locked_rows
-        lo = [stack.lC, stack.lb] + locked_vals
-        hi = [stack.uC, stack.ub] + locked_vals
+        if stack.has_box:
+            rows = [stack.C, I] + locked_rows
+            lo = [stack.lC, stack.lb] + locked_vals
+            hi = [stack.uC, stack.ub] + locked_vals
+        else:
+            rows = [stack.C] + locked_rows
+            lo = [stack.lC] + locked_vals
+            hi = [stack.uC] + locked_vals
         A_full = jnp.concatenate(rows, axis=0)
         l_full = jnp.concatenate(lo, axis=0)
         u_full = jnp.concatenate(hi, axis=0)

@@ -100,11 +100,13 @@ class AutoStack:
         # (opt/qp.py n_eq_head). ``validate(...)`` asserts this on host.
         C_rows, lC_rows, uC_rows = [], [], []
         n_eq = 0
+        has_box = False
         ordered = ([c for c in self.constraints if c.is_equality]
                    + [c for c in self.constraints if not c.is_equality])
         for c in ordered:
             kind, C, lo, hi = c.assemble(ctx)
             if kind == BOX:
+                has_box = True
                 lb = jnp.maximum(lb, lo.astype(dtype))
                 ub = jnp.minimum(ub, hi.astype(dtype))
             elif kind == ROWS:
@@ -124,7 +126,7 @@ class AutoStack:
             lC = jnp.zeros((0,), dtype)
             uC = jnp.zeros((0,), dtype)
         return hierarchy.StackData(levels=tuple(levels), C=C, lC=lC, uC=uC,
-                                   lb=lb, ub=ub, n_eq=n_eq)
+                                   lb=lb, ub=ub, n_eq=n_eq, has_box=has_box)
 
     def constraint_row_order(self) -> List[str]:
         """Names of ROWS constraints in effective (equality-first) C-row

@@ -19,3 +19,42 @@ import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# "slow" marker: the ~15 heaviest closed-loop/e2e tests (>=40 s each on this
+# image's CPU; ~60% of the suite's 40-minute wall time). Quick gate for
+# iterating on solver/task/model code:
+#     python -m pytest tests/ -q -m "not slow"      (~15 min)
+# Full runs (CI / end-of-round) stay the default — e2e behavior coverage is
+# the repo's primary safety net, never skipped silently.
+# ---------------------------------------------------------------------------
+SLOW_TESTS = {
+    "test_force_acc_trace_matches_independent_law",
+    "test_leg_lift_and_replant",
+    "test_dryrun_multichip_8",
+    "test_humanoid_stand_on_estimated_state",
+    "test_humanoid_push_recovery_closed_loop",
+    "test_config2_dual_arm_sine_tracking",
+    "test_energy_conservation_free_fall",
+    "test_humanoid_double_support_stand",
+    "test_ant_forceacc_stand",
+    "test_centaur_stand_squat_e2e",
+    "test_step_recovery_planner_chooses_capture_step",
+    "test_humanoid_rollout_health_under_pushes",
+    "test_gate_sequence_inside_horizon",
+    "test_constrained_ticks_match_certified_oracle",
+    "test_scenario_randomization_healthy",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavyweight closed-loop/e2e test (>=40 s)")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    for item in items:
+        if item.name.split("[")[0] in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
