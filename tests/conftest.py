@@ -34,6 +34,7 @@ SLOW_TESTS = {
     "test_leg_lift_and_replant",
     "test_dryrun_multichip_8",
     "test_humanoid_stand_on_estimated_state",
+    "test_humanoid_single_support_lift_and_replant",
     "test_humanoid_push_recovery_closed_loop",
     "test_config2_dual_arm_sine_tracking",
     "test_energy_conservation_free_fall",
