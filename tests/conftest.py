@@ -41,7 +41,7 @@ SLOW_TESTS = {
     "test_humanoid_double_support_stand",
     "test_ant_forceacc_stand",
     "test_centaur_stand_squat_e2e",
-    "test_step_recovery_planner_chooses_capture_step",
+    "test_step_recovery_decision_channel",
     "test_humanoid_rollout_health_under_pushes",
     "test_gate_sequence_inside_horizon",
     "test_constrained_ticks_match_certified_oracle",
