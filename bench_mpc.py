@@ -69,6 +69,14 @@ def main():
     U2.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
 
+    # MFU of the whole planning step (analytical jaxpr matmul FLOPs /
+    # measured wall / chip peak — VERDICT r3 missing #5; XLA cost_analysis
+    # omits scan trip counts)
+    from qppvm_tpu import bench_util
+    flops = bench_util.jaxpr_matmul_flops(
+        mpc._step_impl, key, st, refs, warm, U)
+    mfu = bench_util.mfu(flops, dt, jax.devices()[0].device_kind)
+
     # readbacks + health gate (after timing)
     for tag, inf in (("warmup", info0), ("timed", info)):
         fail_frac = float(inf["solver_fail_frac"])
@@ -96,6 +104,8 @@ def main():
         "prim_res_max": float(f"{float(info['prim_res_max']):.3g}"),
         "cost_mean": float(info["cost_mean"]),
         "ess": round(float(info["ess"]), 1),
+        "mfu": None if mfu is None else round(mfu, 4),
+        "program_flops_per_plan": flops,
         "device": str(jax.devices()[0]),
     }))
 

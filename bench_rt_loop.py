@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--ticks", type=int, default=500)
     ap.add_argument("--robot", default="humanoid")
     ap.add_argument("--substeps", type=int, default=2)
+    ap.add_argument("--stream", action="store_true",
+                    help="also measure the telemetry-streaming loop "
+                         "(scan_with_stream chunked io_callbacks) and "
+                         "report its per-tick overhead")
+    ap.add_argument("--stream-chunk", type=int, default=100)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -128,6 +133,38 @@ def main():
     jax.block_until_ready(outs)
     sim_ms = (time.perf_counter() - t0) / (reps * T) * 1e3
 
+    # ---- optional: telemetry-streaming loop (MatLogger-in-the-RT-loop
+    # analog, /root/reference/src/QPPVMPlugin.cpp:322-325): same closed
+    # loop, with named channels shipped to a host TraceBuffer in chunked
+    # io_callbacks from INSIDE the scan -------------------------------
+    stream_ms = None
+    if args.stream:
+        from qppvm_tpu.runtime.logger import TraceBuffer, scan_with_stream
+
+        def tick_ch(carry, _):
+            st_c, anchors_c, w_c = carry
+            tau, w_c, aux = plugin._step_impl(st_c, refs, w_c)
+            for _ in range(args.substeps):
+                st_c, anchors_c = sim(st_c, anchors_c, tau, st_c.q,
+                                      zero_kd, zero_kd)
+            return (st_c, anchors_c, w_c), {
+                "tau_qp": tau, "prim_res": aux.prim_res,
+                "fz": aux.wrenches[:, 2]}
+
+        chunk = args.stream_chunk
+        Ts = (T // chunk) * chunk
+        trace = TraceBuffer("/tmp/qppvm_rt_stream", capacity=Ts * (reps + 1))
+        run_stream = jax.jit(lambda s, a, w_:
+                             scan_with_stream(tick_ch, (s, a, w_), Ts,
+                                              trace, chunk=chunk))
+        outs2 = run_stream(st, anchors, w0)
+        jax.block_until_ready(outs2)   # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            outs2 = run_stream(st, anchors, w0)
+        jax.block_until_ready(outs2)
+        stream_ms = (time.perf_counter() - t0) / (reps * Ts) * 1e3
+
     # ---- health gate (readbacks AFTER all timing) -----------------------
     st_f, _, _, n_fail, prim_max = out
     n_fail = int(n_fail)
@@ -142,6 +179,11 @@ def main():
                            f"{z1:.3f}) — refusing to report")
 
     ctrl_ms = tick_ms - sim_ms
+    extra = {}
+    if stream_ms is not None:
+        extra = {"stream_tick_ms": round(stream_ms, 4),
+                 "stream_overhead_ms": round(stream_ms - tick_ms, 4),
+                 "stream_chunk": args.stream_chunk}
     print(json.dumps({
         "metric": "rt_loop_tick_ms",
         "value": round(tick_ms, 4),
@@ -156,6 +198,7 @@ def main():
         "prim_res_max": prim_max,
         "base_drift_m": round(z1 - z0, 4),
         "within_budget": bool(tick_ms <= BUDGET_MS),
+        **extra,
         "device": str(jax.devices()[0].device_kind),
     }))
 

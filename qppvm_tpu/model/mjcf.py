@@ -103,7 +103,11 @@ def load_mjcf(path: Optional[str] = None, *, xml: Optional[str] = None,
     armature: List[float] = []
     frames: List[tuple] = []
 
-    # per-joint actuation limit
+    # Per-joint actuation limit. MuJoCo semantics: an actuator without
+    # ctrlrange (ctrllimited false) has UNBOUNDED control -> the joint's
+    # torque cap is _BIG, not gear*1 (which would be a silently tight cap
+    # on models other than the shipped ant/humanoid). Multiple actuators on
+    # one joint SUM their authority (their torques superpose).
     jnt_tau = {}
     for a in range(m.nu):
         if m.actuator_trntype[a] == mujoco.mjtTrn.mjTRN_JOINT:
@@ -111,9 +115,8 @@ def load_mjcf(path: Optional[str] = None, *, xml: Optional[str] = None,
             gear = abs(float(m.actuator_gear[a, 0]))
             cr = m.actuator_ctrlrange[a]
             lim = max(abs(float(cr[0])), abs(float(cr[1])))
-            if not m.actuator_ctrllimited[a]:
-                lim = 1.0
-            jnt_tau[j] = max(jnt_tau.get(j, 0.0), gear * lim)
+            cap = gear * lim if m.actuator_ctrllimited[a] else _BIG
+            jnt_tau[j] = min(jnt_tau.get(j, 0.0) + cap, _BIG)
 
     def body_inertial(b, R_off, p_off):
         """(mass, com, I_com) of body b expressed in a frame displaced from
@@ -256,9 +259,12 @@ def load_mjcf(path: Optional[str] = None, *, xml: Optional[str] = None,
         attach[b] = (last, np.eye(3), -prev_anchor)
 
     if tip_frames:
-        gt_capsule = int(getattr(__import__("mujoco").mjtGeom, "mjGEOM_CAPSULE"))
+        _mj = __import__("mujoco")
+        gt_capsule = int(_mj.mjtGeom.mjGEOM_CAPSULE)
+        gt_sphere = int(_mj.mjtGeom.mjGEOM_SPHERE)
         for g in range(m.ngeom):
-            if int(m.geom_type[g]) != gt_capsule:
+            gt = int(m.geom_type[g])
+            if gt not in (gt_capsule, gt_sphere):
                 continue
             b = int(m.geom_bodyid[g])
             if b == 0 or b not in attach:
@@ -269,14 +275,24 @@ def load_mjcf(path: Optional[str] = None, *, xml: Optional[str] = None,
             li, R_bf, p_bf = attach[b]
             if li == -1:
                 continue
-            Rg = _quat_to_mat(m.geom_quat[g])
-            half = float(m.geom_size[g, 1])
-            # the far capsule end = the contact tip (ant feet)
-            tips = [m.geom_pos[g] + s * Rg @ np.array([0.0, 0.0, half])
-                    for s in (+1.0, -1.0)]
-            far = max(tips, key=lambda t: float(np.linalg.norm(t)))
+            if gt == gt_capsule:
+                Rg = _quat_to_mat(m.geom_quat[g])
+                half = float(m.geom_size[g, 1])
+                # the far capsule end = the contact tip (ant feet)
+                tips = [m.geom_pos[g] + s * Rg @ np.array([0.0, 0.0, half])
+                        for s in (+1.0, -1.0)]
+                far = max(tips, key=lambda t: float(np.linalg.norm(t)))
+            else:
+                # sphere foot (published humanoid.xml:49,62): contact tip =
+                # the sphere's lowest point in the body frame (feet bodies
+                # are ~world-aligned at home)
+                r = float(m.geom_size[g, 0])
+                far = m.geom_pos[g] - np.array([0.0, 0.0, r])
             p_tip = p_bf + R_bf @ far
-            frames.append((body_name(b) + "_tip", li, np.eye(3), p_tip))
+            tip_name = body_name(b) + "_tip"
+            if any(f[0] == tip_name for f in frames):
+                continue   # one tip per body (first geom wins)
+            frames.append((tip_name, li, np.eye(3), p_tip))
 
     model = build_model(
         parent=parent, joint_type=joint_type, axis=np.stack(axis),

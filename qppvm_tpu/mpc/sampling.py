@@ -61,7 +61,11 @@ class SamplingMPC:
 
     def __init__(self, plugin: ForceAccPlugin, mppi: MPPIConfig,
                  rollout_cfg: Optional[RolloutConfig] = None,
-                 mesh: Optional[Mesh] = None, cost_fn=default_cost):
+                 mesh: Optional[Mesh] = None, cost_fn=default_cost,
+                 contact_offsets=None):
+        """``contact_offsets``: plant foot patches (SimRobot convention),
+        threaded to the rollout so planner and plant feel the same contact
+        moments."""
         self.plugin = plugin
         self.mppi = mppi
         self.rcfg = rollout_cfg or RolloutConfig(horizon=mppi.horizon)
@@ -69,9 +73,11 @@ class SamplingMPC:
         self.swing = None
         self.init_theta = None
         if mppi.step_recovery:
-            self.swing, self.init_theta = make_swing_primitive(plugin)
+            self.swing, self.init_theta = make_swing_primitive(
+                plugin, span_s=self.rcfg.horizon * self.rcfg.dt)
         self.rollout = make_rollout_fn(plugin, self.rcfg, cost_fn,
-                                       swing=self.swing)
+                                       swing=self.swing,
+                                       contact_offsets=contact_offsets)
         self._step = jax.jit(self._step_impl)
 
     def init_plan(self, dtype=jnp.float32):

@@ -67,7 +67,16 @@ def ns_warm_inverse(K: jax.Array, X_guess: jax.Array,
 
     The cold fallback runs the SAME ``iters`` budget (vmap-friendly single
     path); callers whose cold path needs more accuracy should add an
-    iterative-refinement step on the solve that consumes the inverse."""
+    iterative-refinement step on the solve that consumes the inverse.
+
+    Mid-iteration blow-up (a warm seed that passed the contraction guard
+    but overflows in float32) is handled INSIDE the iteration: any step
+    producing a non-finite iterate resets to the Jacobi-prescaled cold seed
+    and the remaining budget refines from there (ADVICE r3 #5 — the
+    fallback is never the raw, un-iterated preconditioner unless the
+    blow-up happens on the very last step or ``K`` itself is non-finite,
+    in which case no inverse exists to return). Costs one cheap reduction
+    per iteration, no extra matmuls."""
     n = K.shape[-1]
     I = jnp.eye(n, dtype=K.dtype)
     E = I - X_guess @ K
@@ -84,7 +93,9 @@ def ns_warm_inverse(K: jax.Array, X_guess: jax.Array,
     X = jnp.where((err < 0.9)[..., None, None], X_guess, cold)
 
     def body(X, _):
-        return X @ (2.0 * I - K @ X), None
+        Xn = X @ (2.0 * I - K @ X)
+        bad = ~jnp.all(jnp.isfinite(Xn), axis=(-2, -1), keepdims=True)
+        return jnp.where(bad, cold, Xn), None
 
     X, _ = jax.lax.scan(body, X, None, length=iters)
     return jnp.where(jnp.all(jnp.isfinite(X)), X, cold)

@@ -77,8 +77,11 @@ class ForceAccPlugin:
                  use_friction_cones: bool = False, mu: float = 0.7,
                  waist_kp: float = 100.0, postural_kp: float = 25.0,
                  force_reg_weight: float = 0.1,
+                 wrench_reg_scale: float = 0.02,
                  switchable_contacts: bool = False, wrench_dim: int = 3,
                  foot_tasks_6d: bool = True,
+                 use_com_task: bool = False, com_task_weight: float = 1.0,
+                 com_kp: float = 25.0, com_kd: float = 10.0,
                  dtype=jnp.float32,
                  solver_opts: Optional[Dict[str, Any]] = None):
         """``wrench_dim``: 3 = point contacts (reference semantics,
@@ -161,14 +164,18 @@ class ForceAccPlugin:
         # and 20-iter tau error 0.15%, vs 0.8% fails / 12% error when qddot
         # is left nearly unregularized — the qddot proximal conditions the
         # ADMM without biasing physics since its center tracks the solution).
-        # The WRENCH block drops to 0.1x so the ForceReg task (an objective
-        # anchor at the gate-share distribution, tasks/force.py) governs the
-        # force nullspace instead of the warm-center random walk that starved
-        # stance feet of friction budget in round 2's leg-lift failure.
+        # The WRENCH block drops to ``wrench_reg_scale`` (0.02x by default)
+        # so the ForceReg task (an objective anchor at the gate-share
+        # distribution, tasks/force.py) governs the force nullspace instead
+        # of the warm-center random walk that starved stance feet of
+        # friction budget in round 2's leg-lift failure. The scale is an
+        # explicit knob (ADVICE r3 #4): raise it toward 1.0 to let the
+        # proximal term compete with ForceReg, lower it to hand the
+        # nullspace entirely to the anchor.
         self.reg_diag = jnp.ones((self.opt.size,), dtype)
         if force_reg_weight > 0.0:
             # x layout is [qddot(nv); wrenches...] (Optvar order above)
-            self.reg_diag = self.reg_diag.at[nv:].set(0.02)
+            self.reg_diag = self.reg_diag.at[nv:].set(wrench_reg_scale)
         self.solver_opts["reg_diag"] = self.reg_diag
 
         foot_rows = None if foot_tasks_6d else (0, 1, 2)
@@ -180,8 +187,20 @@ class ForceAccPlugin:
         self.waist_task = Cartesian("waist_task", waist_link, self.qddot,
                                     kp=waist_kp)
         self.postural = Postural("POSTURAL", self.qddot, kp=postural_kp)
-        self.com_task = CoM("COM", self.wrenches, contact_links)  # built,
-        # kept out of the stack — mirrors /root/reference/src/ForceAcc.cpp:103
+        # Built unconditionally, mirroring /root/reference/src/ForceAcc.cpp:
+        # 103 (constructed, unstacked); ``use_com_task=True`` ADDS it to the
+        # stack — a centroidal balance channel the reference never wires up.
+        # It is the ONLY task that commands the CoM dynamics directly: for
+        # robots whose feet give no pitch/roll authority (the published
+        # humanoid.xml: point-sphere feet, no ankles), pelvis/postural tasks
+        # alone let the QP satisfy every objective by waist-bending while
+        # the whole body topples about the foot line (measured); the CoM
+        # task's PD-on-measured-CoM + zero angular-momentum-rate rows make
+        # balance itself an objective.
+        self.com_task = CoM("COM", self.wrenches, contact_links,
+                            kp=com_kp, kd=com_kd)
+        self.com_task.weight = com_task_weight
+        self.use_com_task = use_com_task
         self.dyn_feas = DynamicFeasibility("DYN_FEAS", self.qddot,
                                            self.wrenches, contact_links)
 
@@ -231,6 +250,8 @@ class ForceAccPlugin:
         for t in self.feet_tasks[1:]:
             feet_aggr = feet_aggr + t
         level2 = self.postural + feet_aggr
+        if use_com_task:
+            level2 = level2 + self.com_task
         self.force_reg = None
         if force_reg_weight > 0.0:
             # pins the contact-force distribution nullspace (see

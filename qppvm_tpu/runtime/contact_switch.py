@@ -81,7 +81,17 @@ class LegLiftScript:
                  margin: float = 0.08, lift_height: float = 0.05,
                  touch_depth: float = 0.005, swing_kp: float = 150.0,
                  swing_w: float = 4.0, postural_deweight: float = 0.05,
-                 dt: float = 1e-3):
+                 dt: float = 1e-3, foothold_offset=(0.0, 0.0),
+                 shift_mode: str = "edge"):
+        """``foothold_offset``: (dx, dy) world displacement of the re-plant
+        target relative to the lift-off point — a stride. The swing goes
+        lift-off -> apex (half the offset, at lift_height) -> target, so
+        one script instance is one stride of a static walk (runtime/gait.py
+        chains them). (0, 0) reproduces the lift-and-replant-in-place cycle.
+        ``shift_mode``: "edge" = margin inside the support polygon normal to
+        the separating edge (the round-3 leg-lift recipe); "centroid" =
+        shift the CoM to the support centroid (robust default for gait,
+        where the polygon advances every stride)."""
         self.model = model
         self.plugin = plugin
         self.refs = refs
@@ -104,13 +114,19 @@ class LegLiftScript:
                            for c in self.support])
         com0 = np.asarray(kinematics.com(model, kin0)[1])[:2]
         waist0 = np.asarray(initial_waist, np.float64)
-        if len(self.support) >= 3:
+        if shift_mode == "centroid":
+            shift = sup_xy.mean(axis=0) - com0
+        elif len(self.support) >= 3:
             # shift the CoM ``margin`` inside the support polygon, normal to
-            # the edge separating the swing corner from the polygon
+            # the edge separating the swing corner from the polygon; among
+            # candidate separating edges take the LONGEST one (the polygon
+            # diagonal facing the swing corner), and fall back to the
+            # centroid shift when no edge separates (collinear/degenerate
+            # support geometry leaves ``best`` unset).
             others = [i for i in range(len(sup_xy))]
-            # edge = the two support feet adjacent to the swing foot: use the
-            # pair with the largest distance (polygon diagonal facing swing)
             best = None
+            best_len = -1.0
+            p_foot = np.asarray(kin0.p[model.link_index(foot)])[:2]
             for a in range(len(sup_xy)):
                 for b in range(a + 1, len(sup_xy)):
                     inside = [i for i in others if i not in (a, b)]
@@ -120,24 +136,30 @@ class LegLiftScript:
                     ref_pt = sup_xy[inside[0]]
                     if np.dot(ref_pt - sup_xy[a], n) < 0:
                         n = -n
-                    # the separating edge is the one where the swing foot is
+                    # the separating edge is one where the swing foot is
                     # on the negative side
-                    p_foot = np.asarray(
-                        kin0.p[model.link_index(foot)])[:2]
-                    if np.dot(p_foot - sup_xy[a], n) < 0:
+                    edge_len = float(np.linalg.norm(d))
+                    if (np.dot(p_foot - sup_xy[a], n) < 0
+                            and edge_len > best_len):
                         best = (a, b, n)
-            a, b, n = best
-            dist = np.dot(com0 - sup_xy[a], n)
-            shift = (margin - dist) * n
+                        best_len = edge_len
+            if best is not None:
+                a, b, n = best
+                dist = np.dot(com0 - sup_xy[a], n)
+                shift = (margin - dist) * n
+            else:
+                shift = sup_xy.mean(axis=0) - com0
         else:
             shift = sup_xy.mean(axis=0) - com0
         self.w0 = jnp.asarray(waist0, jnp.float32)
         self.w1 = jnp.asarray(waist0 + np.r_[shift, 0.0], jnp.float32)
 
         p0 = np.asarray(refs[self.key]["p"], np.float64)
+        dx, dy = float(foothold_offset[0]), float(foothold_offset[1])
         self.pf0 = jnp.asarray(p0, jnp.float32)
-        self.pf_up = jnp.asarray(p0 + [0, 0, lift_height], jnp.float32)
-        self.pf_dn = jnp.asarray(p0 + [0, 0, -touch_depth], jnp.float32)
+        self.pf_up = jnp.asarray(
+            p0 + [0.5 * dx, 0.5 * dy, lift_height], jnp.float32)
+        self.pf_dn = jnp.asarray(p0 + [dx, dy, -touch_depth], jnp.float32)
         self.swing_joints = [j for j in chain_joints(model, foot)
                              if j < model.nj]
         self.postural_deweight = postural_deweight

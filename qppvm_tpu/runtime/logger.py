@@ -43,6 +43,20 @@ class TraceBuffer:
             self._buffers[name][i] = value
             self._idx[name] = i + 1
 
+    def add_block(self, name: str, block) -> None:
+        """Append a (T, ...) block of samples to a channel in one call (the
+        chunked device-stream path, ``scan_with_stream``)."""
+        block = np.asarray(block)
+        if name not in self._buffers:
+            self._buffers[name] = np.zeros(
+                (self.capacity,) + block.shape[1:], dtype=np.float64)
+            self._idx[name] = 0
+        i = self._idx[name]
+        n = min(block.shape[0], self.capacity - i)
+        if n > 0:
+            self._buffers[name][i:i + n] = block[:n]
+            self._idx[name] = i + n
+
     def tick(self) -> None:  # kept for API symmetry; add() self-advances
         pass
 
@@ -59,6 +73,43 @@ class TraceBuffer:
         except Exception:  # scipy optional at runtime
             pass
         return self.path + ".npz"
+
+
+def scan_with_stream(body, carry, length: int, trace: TraceBuffer,
+                     chunk: int = 64, ordered: bool = True):
+    """Device-resident loop with telemetry STREAMING to the host — the
+    MatLogger-inside-the-RT-loop analog (the reference logs inside its
+    1 kHz Xenomai loop, /root/reference/src/QPPVMPlugin.cpp:322-325; the
+    deployable TPU shape keeps the loop in one ``lax.scan`` where a plain
+    host-dispatch logger cannot reach).
+
+    ``body(carry, None) -> (carry, channels)`` is a ``lax.scan`` body whose
+    per-tick output is a dict of named channel arrays. The loop runs as
+    ``length // chunk`` outer iterations of a ``chunk``-tick inner scan;
+    each outer iteration ships the stacked (chunk, ...) channel block to
+    ``trace`` with ONE ``io_callback`` — chunking amortizes the host
+    round-trip to 1/chunk per tick while the loop itself never leaves the
+    device. With ``ordered=True`` blocks arrive in sequence and
+    ``TraceBuffer.add_block`` appends them directly.
+
+    ``length`` must be a multiple of ``chunk``. Returns the final carry.
+    """
+    if length % chunk != 0:
+        raise ValueError(f"length {length} not a multiple of chunk {chunk}")
+    import jax
+    from jax.experimental import io_callback
+
+    def _emit(blocks):
+        for name, block in blocks.items():
+            trace.add_block(name, block)
+
+    def outer(c, _):
+        c, ys = jax.lax.scan(body, c, None, length=chunk)
+        io_callback(_emit, None, ys, ordered=ordered)
+        return c, None
+
+    carry, _ = jax.lax.scan(outer, carry, None, length=length // chunk)
+    return carry
 
 
 _LOGGERS: Dict[str, "ConsoleLogger"] = {}

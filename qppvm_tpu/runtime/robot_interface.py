@@ -131,16 +131,8 @@ class SimRobot:
                                      contact_kt))
 
     def _init_anchors(self) -> jax.Array:
-        n_pts = sum(len(o) for o in self._contact_offsets)
-        if n_pts == 0:
-            return jnp.zeros((0, 2), self.dtype)
-        kin = kinematics.fk(self.model, self.state)
-        pts = []
-        for li, offsets in zip(self._contact_idx, self._contact_offsets):
-            for off in offsets:
-                p = kin.p[li] + kin.R[li] @ jnp.asarray(off, self.dtype)
-                pts.append(p[:2])
-        return jnp.stack(pts)
+        return init_anchors(self.model, self.state, self._contact_idx,
+                            self._contact_offsets, self.dtype)
 
     # --- sense side -----------------------------------------------------
     def get_motor_position(self) -> jax.Array:
@@ -187,20 +179,92 @@ class SimRobot:
             self._fb_vel.set(self.state.base_rot @ self.state.base_vel[3:])
 
 
-def _sim_step(model: RobotModel, h: float, contact_idx, contact_offsets,
-              ground_z, kp_c, kd_c, mu, kt_c, state: RobotState, anchors,
-              tau_ref, q_ref, k, d):
-    """One physics substep (jitted): drive PD + effort + ground contact.
-    Each contact link may carry several local contact points (foot patch);
-    per-point compliant normal + Coulomb-limited tangential forces are
-    accumulated as a wrench at the link origin.
+def ground_forces(model: RobotModel, contact_idx, contact_offsets, ground_z,
+                  kp_c, kd_c, mu, kt_c, kin, J_all, u, anchors, dtype,
+                  kd_t=None):
+    """THE ground-contact model: per-point compliant normal + stiction-anchor
+    tangential forces, accumulated as full wrenches (force AND moment) at
+    each contact link's origin. Both the SimRobot plant (``_sim_step``) and
+    the MPC rollout dynamics (mpc/rollout.py) call this one function, so
+    planner physics and plant physics cannot drift.
 
+    Each contact link may carry several local contact points (foot patch).
     Tangential model: spring-damper to a per-point xy anchor (STICTION — a
     stance foot under sustained shear holds position instead of creeping),
     clamped to the friction cone mu*fz; when the clamp saturates, the anchor
     slides so the spring stays consistent with the clamped force
     (regularized Coulomb friction). Anchors reset to the contact point while
-    the point is airborne. Returns ``(new_state, new_anchors)``."""
+    the point is airborne.
+
+    ``mu`` may be a traced scalar (rollout friction randomization).
+    ``kd_t``: tangential damping coefficient (default ``5 * kd_c``, the
+    plant's value). An explicit integrator is only stable when
+    ``h * kd_t / m_eff < 2``; callers integrating at a coarse step (the MPC
+    rollout, h ~ 10 ms vs the plant's 0.25-0.5 ms) MUST pass an h-scaled
+    value or the tangential dynamics chatter at the friction-cone limit
+    (measured: rollout QP primal residuals 5e-2 from the jittered states).
+    Returns ``(ext (nj, 6), new_anchors (n_pts, 2))``."""
+    if kd_t is None:
+        kd_t = 5.0 * kd_c
+    ext = jnp.zeros((model.nj, 6), dtype)
+    anchor_rows = []
+    pt = 0
+    for li, offsets in zip(contact_idx, contact_offsets):
+        p0 = kin.p[li]
+        R0 = kin.R[li]
+        tw = J_all[li] @ u                          # [v; w] at link origin
+        n_pts = len(offsets)
+        for off in offsets:
+            off = jnp.asarray(off, dtype)
+            r = R0 @ off
+            p = p0 + r
+            v = tw[:3] + jnp.cross(tw[3:], r)       # point velocity
+            pen = ground_z - p[2]                   # >0 when penetrating
+            in_contact = pen > 0.0
+            fz = jnp.maximum((kp_c * pen - kd_c * v[2]) / n_pts, 0.0)
+            a = anchors[pt]
+            ft = (-kt_c * (p[:2] - a) - kd_t * v[:2]) / n_pts
+            ft_max = mu * fz
+            ft_norm = jnp.linalg.norm(ft) + 1e-9
+            scale = jnp.minimum(1.0, ft_max / ft_norm)
+            ft = ft * scale
+            # sliding: move the anchor so the (clamped) spring force is
+            # exactly what the unclamped law would produce at the new a
+            a_slide = p[:2] + (ft * n_pts + kd_t * v[:2]) / kt_c
+            a_new = jnp.where(in_contact,
+                              jnp.where(scale < 1.0, a_slide, a),
+                              p[:2])
+            anchor_rows.append(a_new)
+            pt += 1
+            f = jnp.where(in_contact,
+                          jnp.concatenate([ft, fz[None]]),
+                          jnp.zeros(3, dtype))
+            wrench = jnp.concatenate([f, jnp.cross(r, f)])
+            ext = ext.at[li].add(wrench)
+    return ext, jnp.stack(anchor_rows)
+
+
+def init_anchors(model: RobotModel, state: RobotState, contact_idx,
+                 contact_offsets, dtype=jnp.float32):
+    """Initial stiction-anchor positions: each contact point's world xy at
+    ``state``. jit-pure (the MPC rollout seeds its per-rollout anchors with
+    this from a traced state)."""
+    kin = kinematics.fk(model, state)
+    pts = []
+    for li, offsets in zip(contact_idx, contact_offsets):
+        for off in offsets:
+            p = kin.p[li] + kin.R[li] @ jnp.asarray(off, dtype)
+            pts.append(p[:2])
+    if not pts:
+        return jnp.zeros((0, 2), dtype)
+    return jnp.stack(pts)
+
+
+def _sim_step(model: RobotModel, h: float, contact_idx, contact_offsets,
+              ground_z, kp_c, kd_c, mu, kt_c, state: RobotState, anchors,
+              tau_ref, q_ref, k, d):
+    """One physics substep (jitted): drive PD + effort + ground contact
+    (``ground_forces``). Returns ``(new_state, new_anchors)``."""
     tau = tau_ref + k * (q_ref - state.q) - d * state.qd
     tau = jnp.clip(tau, -model.tau_max, model.tau_max)
 
@@ -210,42 +274,9 @@ def _sim_step(model: RobotModel, h: float, contact_idx, contact_offsets,
         kin = kinematics.fk(model, state)
         J_all = kinematics.all_link_jacobians(model, kin)
         u = state.u if model.floating else state.qd
-        ext = jnp.zeros((model.nj, 6), state.q.dtype)
-        anchor_rows = []
-        pt = 0
-        for li, offsets in zip(contact_idx, contact_offsets):
-            p0 = kin.p[li]
-            R0 = kin.R[li]
-            tw = J_all[li] @ u                          # [v; w] at link origin
-            n_pts = len(offsets)
-            for off in offsets:
-                off = jnp.asarray(off, state.q.dtype)
-                r = R0 @ off
-                p = p0 + r
-                v = tw[:3] + jnp.cross(tw[3:], r)       # point velocity
-                pen = ground_z - p[2]                   # >0 when penetrating
-                in_contact = pen > 0.0
-                fz = jnp.maximum((kp_c * pen - kd_c * v[2]) / n_pts, 0.0)
-                a = anchors[pt]
-                ft = (-kt_c * (p[:2] - a) - kd_c * 5.0 * v[:2]) / n_pts
-                ft_max = mu * fz
-                ft_norm = jnp.linalg.norm(ft) + 1e-9
-                scale = jnp.minimum(1.0, ft_max / ft_norm)
-                ft = ft * scale
-                # sliding: move the anchor so the (clamped) spring force is
-                # exactly what the unclamped law would produce at the new a
-                a_slide = p[:2] + (ft * n_pts + kd_c * 5.0 * v[:2]) / kt_c
-                a_new = jnp.where(in_contact,
-                                  jnp.where(scale < 1.0, a_slide, a),
-                                  p[:2])
-                anchor_rows.append(a_new)
-                pt += 1
-                f = jnp.where(in_contact,
-                              jnp.concatenate([ft, fz[None]]),
-                              jnp.zeros(3, state.q.dtype))
-                wrench = jnp.concatenate([f, jnp.cross(r, f)])
-                ext = ext.at[li].add(wrench)
-        new_anchors = jnp.stack(anchor_rows)
+        ext, new_anchors = ground_forces(
+            model, contact_idx, contact_offsets, ground_z, kp_c, kd_c, mu,
+            kt_c, kin, J_all, u, anchors, state.q.dtype)
 
     udot = dynamics.forward_dynamics(model, state, tau, ext_wrenches=ext)
     return dynamics.integrate(model, state, udot, h), new_anchors

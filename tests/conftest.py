@@ -46,6 +46,14 @@ SLOW_TESTS = {
     "test_gate_sequence_inside_horizon",
     "test_constrained_ticks_match_certified_oracle",
     "test_scenario_randomization_healthy",
+    "test_quadruped_static_walk_8_strides",
+    "test_humanoid_step_in_place",
+    "test_published_humanoid_forceacc_stand",
+    "test_capture_step_recovery_closed_loop",
+    "test_rollout_one_step_matches_plant_step",
+    "test_device_stream_matches_host_dispatch",
+    "test_ring_exact_on_real_wbc_tick",
+    "test_ring_defect_shrinks_and_payload_reported",
 }
 
 

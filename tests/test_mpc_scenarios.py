@@ -71,16 +71,17 @@ def test_gate_sequence_inside_horizon():
 
 def test_step_recovery_decision_channel():
     """The footstep-recovery channel end-to-end: (a) DETERMINISTIC physics —
-    at a 2.5 m/s lateral shove (beyond cone-limited lean-braking), a
-    capture-step rollout (swing the unloaded-side foot, land it toward the
-    push) costs LESS than the lean-only rollout of the same machinery;
+    a hand-chosen capture-step theta makes the chosen foot PHYSICALLY break
+    contact and swing inside the rollout horizon (gate ramps off, reference
+    lifts, shared plant contact model confirms the air time) while the
+    lean-only theta keeps it planted — with both chains fully healthy;
     (b) MPPI plumbing — plan_step samples/averages theta next to the waist
-    plan and stays finite with a non-degenerate batch. The closed-loop
-    discovery experiments (which feet MPPI picks, how the magnitude evolves)
-    live in tools/exp_step_recovery.py — their outcome is seed- and
-    solver-numerics-sensitive, so the TEST pins only the deterministic
-    claims."""
-    from qppvm_tpu.mpc.rollout import (default_cost, make_rollout_fn,
+    plan and the batch stays healthy/usable. The lean-falls-vs-step-survives
+    BEHAVIOR claim lives on the biped, where toppling is real
+    (tests/test_capture_step.py): the quadruped's wide stance skids or hops
+    out of any flat-ground shove under the reunified plant physics, so a
+    quadruped cost dichotomy would pin an artifact, not a capability."""
+    from qppvm_tpu.mpc.rollout import (make_rollout_fn,
                                        make_swing_primitive)
     mppi = MPPIConfig(n_samples=24, horizon=12, noise_std=0.2,
                       step_recovery=True, theta_noise_std=1.5,
@@ -89,23 +90,34 @@ def test_step_recovery_decision_channel():
                          mu=1.3)
     plugin, st, refs, warm, mpc = _quadruped_mpc(mppi, rcfg)
     H = 12
-    stp = dataclasses.replace(st, base_vel=st.base_vel.at[4].add(2.5))
 
-    # (a) deterministic: capture-step rollout beats lean-only
-    swing, init_theta = make_swing_primitive(plugin)
-    rollout = make_rollout_fn(plugin, rcfg, default_cost, swing=swing)
+    # (a) deterministic: the decision channel changes the rollout's
+    # PHYSICAL contact state, healthily
+    swing, init_theta = make_swing_primitive(
+        plugin, span_s=rcfg.horizon * rcfg.dt)
+    fr_idx = plugin.model.link_index("foot_fr")
+
+    def foot_air_cost(model, state, tau, aux):
+        from qppvm_tpu.model import kinematics as _k
+        kin = _k.fk(model, state)
+        return kin.p[fr_idx][2]          # integral of swing-foot height
+
+    rollout = make_rollout_fn(plugin, rcfg, foot_air_cost, swing=swing)
     U0 = jnp.zeros((H, 3))
     scen = {"push": jnp.zeros((H, 3))}
-    c_lean, _ = rollout(stp, refs, warm, U0, scen, init_theta())
+    z_lean, h_lean = rollout(st, refs, warm, U0, scen, init_theta())
     theta_step = {"swing": jnp.asarray([-8.0, 3.0, -8.0, -8.0]),  # fr
                   "t0": jnp.asarray(-2.0),
                   "dxy": jnp.asarray([0.0, 0.1])}
-    c_step, _ = rollout(stp, refs, warm, U0, scen, theta_step)
-    assert float(c_step) < float(c_lean), (float(c_step), float(c_lean))
+    z_step, h_step = rollout(st, refs, warm, U0, scen, theta_step)
+    assert not bool(h_lean["solver_failed"]), h_lean
+    assert not bool(h_step["solver_failed"]), h_step
+    # lean-only: foot stays on the ground (integral height ~ 0);
+    # step theta: the foot is airborne for a large part of the horizon
+    assert float(z_lean) < 0.02, float(z_lean)
+    assert float(z_step) > 0.1, float(z_step)
 
-    # (b) the sampled decision channel stays fully healthy end-to-end (on
-    # the nominal standing state; at the 2.5 m/s shove whole batches
-    # legitimately blow the rollout fail gate and are penalized)
+    # (b) the sampled decision channel stays healthy and usable end-to-end
     U, theta = mpc.init_plan(), mpc.init_theta()
     key = jax.random.PRNGKey(0)
     for _ in range(2):
@@ -113,6 +125,8 @@ def test_step_recovery_decision_channel():
         (U, theta), info = mpc.plan_step(k, st, refs, warm, U, theta)
     assert all(bool(jnp.all(jnp.isfinite(v))) for v in theta.values())
     assert np.isfinite(float(info["cost_min"]))
-    # a couple of wildly-sampled exploratory steps may legitimately blow
-    # the rollout gate and get penalized; the batch must stay usable
-    assert float(info["solver_fail_frac"]) < 0.2, info
+    # with the h-scaled rollout contact parameters the whole sampled batch
+    # is healthy (round-4 fix: the plant's stiff tangential model chattered
+    # at the rollout's coarse substep and failed 75% of samples)
+    assert float(info["solver_fail_frac"]) < 0.1, info
+    assert float(info["ess"]) > 2.0, info

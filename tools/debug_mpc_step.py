@@ -10,9 +10,31 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from qppvm_tpu.model import dynamics, kinematics, zoo  # noqa: E402
-from qppvm_tpu.mpc.rollout import RolloutConfig, _contact_forces  # noqa: E402
+from qppvm_tpu.mpc.rollout import RolloutConfig  # noqa: E402
 from qppvm_tpu.opt import hierarchy  # noqa: E402
 from qppvm_tpu.plugins.force_acc import ForceAccPlugin  # noqa: E402
+
+def _contact_forces(model, kin, J_all, u, contact_idx, cfg, dtype, mu=None):
+    """Local copy of the pre-round-4 viscous contact model (the package now
+    shares runtime.robot_interface.ground_forces with the plant)."""
+    import jax.numpy as jnp
+    mu = cfg.mu if mu is None else mu
+    ext = jnp.zeros((model.nj, 6), dtype)
+    for li in contact_idx:
+        p = kin.p[li]
+        v = J_all[li] @ u
+        pen = cfg.ground_z - p[2]
+        in_contact = pen > 0.0
+        fz = jnp.maximum(cfg.contact_kp * pen - cfg.contact_kd * v[2], 0.0)
+        ft = -cfg.contact_kd * v[:2] * 5.0
+        ft_max = mu * fz
+        ft = ft * jnp.minimum(1.0, ft_max / (jnp.linalg.norm(ft) + 1e-9))
+        f = jnp.where(in_contact, jnp.concatenate([ft, fz[None]]),
+                      jnp.zeros(3, dtype))
+        ext = ext.at[li].add(jnp.concatenate([f, jnp.zeros(3, dtype)]))
+    return ext
+
+
 
 
 def main():
