@@ -246,7 +246,13 @@ def load_mjcf(path: Optional[str] = None, *, xml: Optional[str] = None,
             q_min.append(float(m.jnt_range[j, 0]) if lim else -_BIG)
             q_max.append(float(m.jnt_range[j, 1]) if lim else _BIG)
             qadr = int(m.jnt_qposadr[j])
-            q_home.append(float(m.qpos0[qadr]))
+            # clamp the home posture INTO the joint range: published files
+            # can carry qpos0 outside jnt_range (humanoid.xml knees: qpos0=0
+            # vs range [-160deg, -2deg]); MuJoCo enforces the limit in sim,
+            # and a home the postural task can never reach destabilizes a
+            # stand (measured: knees hyperextend until the robot bows over)
+            q_home.append(float(np.clip(m.qpos0[qadr],
+                                        q_min[-1], q_max[-1])))
             tau_max.append(jnt_tau.get(j, _BIG))
             dadr = int(m.jnt_dofadr[j])
             armature.append(float(m.dof_armature[dadr]))

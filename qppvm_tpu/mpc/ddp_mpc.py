@@ -84,3 +84,19 @@ class CentroidalMPC:
         """CoM position k steps into the planned trajectory — the reference
         handed to the WBC's waist task."""
         return res.X[k][:3]
+
+    @staticmethod
+    def force_ref_offset(res: ilqr.ILQRResult, params, total_weight,
+                         k: int = 0):
+        """``refs["FORCE_REG"]["f"]`` offset realizing the plan's step-k
+        contact forces in the WBC: ForceReg anchors the force-distribution
+        nullspace at the gate-weighted equal share plus this offset
+        (tasks/force.py), so adding ``f_plan - equal_share`` makes the
+        commanded distribution TRACK THE PLAN instead of the static share —
+        the force::CoM channel the reference builds but never wires up
+        (/root/reference/src/ForceAcc.cpp:103). 3-vector wrenches only
+        (the centroidal model's per-foot forces)."""
+        f_plan = res.U[k].reshape(params.nc, 3)
+        share = jnp.zeros_like(f_plan).at[:, 2].set(
+            total_weight / params.nc)
+        return (f_plan - share).reshape(-1)

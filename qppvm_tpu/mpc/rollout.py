@@ -21,7 +21,8 @@ from qppvm_tpu.model.robot import RobotModel, RobotState
 from qppvm_tpu.opt import hierarchy, linalg
 from qppvm_tpu.plugins.force_acc import ForceAccPlugin
 from qppvm_tpu.precision import f32_matmuls
-from qppvm_tpu.runtime.robot_interface import ground_forces, init_anchors
+from qppvm_tpu.runtime.robot_interface import (ground_forces, init_anchors,
+                                               stop_torques)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,6 +93,10 @@ class RolloutConfig:
     # remaining planner-vs-plant gap.
     contact_kt: float = 4e3
     contact_kd_t: float = 100.0
+    # joint hard-stop gains (runtime.robot_interface.stop_torques), h-scaled
+    # like the tangential contact params (plant: 2e3/20 at h ~ 0.5 ms)
+    stop_kp: float = 200.0
+    stop_kd: float = 5.0
     ground_z: float = 0.0
 
 
@@ -328,8 +333,11 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
         tau, warm, aux, (data, *_rest) = plugin.step_core(
             state, refs_t, warm, solver_opts=rollout_solver_opts)
         # actuator saturation: the rollout must not promise torques the
-        # drives cannot deliver (SimRobot clips identically)
+        # drives cannot deliver (SimRobot clips identically), then joint
+        # hard stops (the plant's mechanism, h-scaled gains)
         tau = jnp.clip(tau, -model.tau_max, model.tau_max)
+        tau = tau + stop_torques(model, state, k_stop=cfg.stop_kp,
+                                 d_stop=cfg.stop_kd)
 
         # Warm mass-matrix inverse carried along the horizon: B drifts
         # slowly at dt=10 ms, so a guarded 4-iteration NS refresh from last

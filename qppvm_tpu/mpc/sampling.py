@@ -137,6 +137,12 @@ class SamplingMPC:
                 lambda v: jnp.einsum("k,k...->...", w, v), theta)
         else:
             theta_new = None
+        # elite (best-sample) decisions: the exponential AVERAGE of theta
+        # is mushy when the decision is discrete-ish (step or don't) — a
+        # single committed capture-step sample wins on cost but an average
+        # over 23 non-steppers dilutes it to nothing. Surface the argmin
+        # sample so callers can act on the planner's actual best choice.
+        best = jnp.argmin(costs)
         info = {
             "cost_min": beta,
             "cost_mean": jnp.mean(costs),
@@ -145,7 +151,11 @@ class SamplingMPC:
             # are detectable, not silently averaged in
             "solver_fail_frac": jnp.mean(failed.astype(costs.dtype)),
             "prim_res_max": jnp.max(health["prim_res_max"]),
+            "U_best": U[best],
+            "best_failed": failed[best],
         }
+        if theta is not None:
+            info["theta_best"] = jax.tree.map(lambda v: v[best], theta)
         if theta_new is not None:
             return (U_new, theta_new), info
         return U_new, info

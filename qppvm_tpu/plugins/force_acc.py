@@ -82,6 +82,8 @@ class ForceAccPlugin:
                  foot_tasks_6d: bool = True,
                  use_com_task: bool = False, com_task_weight: float = 1.0,
                  com_kp: float = 25.0, com_kd: float = 10.0,
+                 use_joint_limits: bool = False,
+                 moment_box: Sequence[float] = (30.0, 30.0, 10.0),
                  dtype=jnp.float32,
                  solver_opts: Optional[Dict[str, Any]] = None):
         """``wrench_dim``: 3 = point contacts (reference semantics,
@@ -215,7 +217,9 @@ class ForceAccPlugin:
             ]
             if self.wrench_dim == 6:
                 # CoP/torsion box on the moment part of each full wrench
-                t_ub = jnp.asarray([30.0, 30.0, 10.0])
+                # (``moment_box``: the sole's CoP authority — tighten it to
+                # a Hertz-patch scale for near-point feet)
+                t_ub = jnp.asarray(moment_box, dtype)
                 wrench_constraints += [
                     GenericConstraint(cl + "_moment", w.rows([3, 4, 5]),
                                       t_ub, -t_ub, gate=g)
@@ -225,10 +229,11 @@ class ForceAccPlugin:
             if self.wrench_dim == 6:
                 # the reference's exact full-wrench bounds
                 # (/root/reference/src/ForceAcc.cpp:74-76), with the
-                # unilateral f_z >= fz_min
-                ub = jnp.asarray([1000.0, 1000.0, 1000.0, 30.0, 30.0, 10.0])
-                lb = jnp.asarray([-1000.0, -1000.0, fz_min,
-                                  -30.0, -30.0, -10.0])
+                # unilateral f_z >= fz_min and the configurable moment box
+                mb = list(moment_box)
+                ub = jnp.asarray([1000.0, 1000.0, 1000.0] + mb)
+                lb = jnp.asarray([-1000.0, -1000.0, fz_min] +
+                                 [-m for m in mb])
             else:
                 # 3-force version of the reference bounds
                 ub = jnp.asarray([1000.0, 1000.0, 1000.0])
@@ -263,6 +268,15 @@ class ForceAccPlugin:
                 gates_key="contacts" if switchable_contacts else None)
             level2 = level2 + self.force_reg
         stack = (self.waist_task / level2) << self.dyn_feas
+        # acceleration-level joint-limit avoidance (C8 analog; opt in for
+        # robots whose tasks push joints to their range edges, e.g. the
+        # published humanoid.xml's at-the-stop knees)
+        self.joint_limits = None
+        if use_joint_limits:
+            from qppvm_tpu.tasks.generic import JointAccLimits
+            self.joint_limits = JointAccLimits("JOINT_ACC_LIMITS",
+                                               self.qddot)
+            stack = stack << self.joint_limits
         for c in wrench_constraints:
             stack = stack << c
         self.stack = stack

@@ -34,12 +34,25 @@ def get_matmul_precision() -> str:
     return _PRECISION
 
 
+# friendly aliases -> jax DotAlgorithmPreset names
+_ALIASES = {
+    "float32": "float32",               # HIGHEST: full f32 accumulate
+    "bfloat16_3x": "BF16_BF16_F32_X3",  # 3 compensated bf16 MXU passes
+    "bfloat16_6x": "BF16_BF16_F32_X6",
+    "bfloat16": "bfloat16",             # known-bad here (NaNs)
+}
+
+
+def _resolve(p: str) -> str:
+    return _ALIASES.get(p, p)
+
+
 def f32_matmuls(fn):
     """Decorator: trace ``fn`` under the pinned matmul precision (f32 by
     default — see module docstring)."""
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision(_PRECISION):
+        with jax.default_matmul_precision(_resolve(_PRECISION)):
             return fn(*args, **kwargs)
     return wrapped
 
@@ -51,7 +64,7 @@ class matmul_f32:
         self._cm = None
 
     def __enter__(self):
-        self._cm = jax.default_matmul_precision(_PRECISION)
+        self._cm = jax.default_matmul_precision(_resolve(_PRECISION))
         return self._cm.__enter__()
 
     def __exit__(self, *exc):

@@ -77,12 +77,19 @@ class FloatingBaseEstimator:
     """
 
     def __init__(self, model: RobotModel, contact_links: Sequence[str],
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, ground_z: Optional[float] = 0.0):
+        """``ground_z``: terrain prior — a freshly-made contact re-anchors
+        with its z PINNED to this ground height instead of inheriting the
+        current (possibly drifted) base estimate. Leg odometry has no
+        absolute height reference; without the prior every contact remake
+        integrates the accumulated z error (the changing-stance-set drift).
+        None disables (unknown terrain)."""
         if not model.floating:
             raise ValueError("FloatingBaseEstimator needs a floating base")
         self.model = model
         self.contact_links = tuple(contact_links)
         self.dtype = dtype
+        self.ground_z = ground_z
         self._update = jax.jit(self._update_impl)
 
     # -- helpers ---------------------------------------------------------
@@ -149,9 +156,14 @@ class FloatingBaseEstimator:
         v_b = _linalg.spd_inverse_ns(AtA, iters=16, refine=2) @ Atb
         v_b = jnp.where(any_active, v_b, jnp.zeros(3, q.dtype))
 
-        # contact make: re-anchor at current world position estimate
+        # contact make: re-anchor at the current world position estimate,
+        # with the z pinned to the terrain prior when one is configured
         made = (active > 0.5) & (est.active_prev < 0.5)
-        anchors = jnp.where(made[:, None], base_pos[None, :] + r, est.anchors)
+        new_anchor = base_pos[None, :] + r
+        if self.ground_z is not None:
+            new_anchor = new_anchor.at[:, 2].set(
+                jnp.asarray(self.ground_z, q.dtype))
+        anchors = jnp.where(made[:, None], new_anchor, est.anchors)
 
         state = RobotState(q=q, qd=qd, base_rot=R, base_pos=base_pos,
                            base_vel=jnp.concatenate([omega_b, v_b]))

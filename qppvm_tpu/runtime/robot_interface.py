@@ -260,13 +260,34 @@ def init_anchors(model: RobotModel, state: RobotState, contact_idx,
     return jnp.stack(pts)
 
 
+def stop_torques(model: RobotModel, state: RobotState,
+                 k_stop: float = 2e3, d_stop: float = 20.0) -> jax.Array:
+    """Joint-limit hard-stop torques: stiff damped springs beyond
+    [q_min, q_max] (the mechanical stop, NOT the actuator — deliberately
+    not clipped by tau_max). Shared by the plant (``_sim_step``) and the
+    MPC rollout (which passes h-scaled gains, same reasoning as the
+    tangential contact parameters)."""
+    below = jnp.maximum(model.q_min.astype(state.q.dtype) - state.q, 0.0)
+    above = jnp.maximum(state.q - model.q_max.astype(state.q.dtype), 0.0)
+    in_stop = (below > 0.0) | (above > 0.0)
+    return k_stop * (below - above) - jnp.where(
+        in_stop, d_stop * state.qd, 0.0)
+
+
 def _sim_step(model: RobotModel, h: float, contact_idx, contact_offsets,
               ground_z, kp_c, kd_c, mu, kt_c, state: RobotState, anchors,
               tau_ref, q_ref, k, d):
-    """One physics substep (jitted): drive PD + effort + ground contact
-    (``ground_forces``). Returns ``(new_state, new_anchors)``."""
+    """One physics substep (jitted): drive PD + effort + joint hard stops +
+    ground contact (``ground_forces``). Returns ``(new_state, new_anchors)``.
+
+    Hard stops: the model's joint limits act as stiff damped stop torques
+    (real joints have mechanical stops; MuJoCo enforces jnt_range the same
+    way). Without them a commanded-torque plant silently hyperextends —
+    measured on the published humanoid.xml, whose knees (range max -2 deg)
+    bent BACKWARD under load until the robot bowed over."""
     tau = tau_ref + k * (q_ref - state.q) - d * state.qd
     tau = jnp.clip(tau, -model.tau_max, model.tau_max)
+    tau = tau + stop_torques(model, state)
 
     ext = None
     new_anchors = anchors

@@ -9,7 +9,7 @@ BASELINE.json north star (no counterpart in the reference).
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -44,6 +44,45 @@ class GenericConstraint(Constraint):
             lb = g * lb
             ub = g * ub
         return (ROWS, self.expr.M, lb - self.expr.c, ub - self.expr.c)
+
+
+class JointAccLimits(Constraint):
+    """Joint position-limit avoidance as acceleration bounds on the
+    actuated q̈ rows — the acceleration-stack analog of the reference's
+    (commented-out) torque-level ``constraints::torque::JointLimits``
+    (/root/reference/src/QPPVMPlugin.cpp:169-171, C8):
+
+        kp (q_min - q) - kd q̇  <=  q̈  <=  kp (q_max - q) - kd q̇
+
+    A viability condition: the commanded acceleration can always brake
+    before the mechanical stop. Needed whenever a task pushes a joint
+    toward its range edge (measured on the published humanoid.xml: knees
+    with range max -2 deg resting AT the stop — without this constraint
+    the QP commands into the stop, the plant's hard-stop torque answers
+    with a reaction the controller's model lacks, and the systematic
+    mismatch slowly topples the robot)."""
+
+    def __init__(self, name: str, qddot: AffineExpr, kp: float = 100.0,
+                 kd: Optional[float] = None, margin: float = 0.0):
+        self.name = name
+        self.qddot = qddot
+        self.kp = kp
+        self.kd = 2.0 * float(np.sqrt(kp)) if kd is None else kd
+        self.margin = margin
+
+    def assemble(self, ctx: AssembleCtx):
+        off = 6 if ctx.model.floating else 0
+        q = ctx.state.q
+        qd = ctx.state.qd
+        lo = ctx.model.q_min.astype(ctx.dtype) + self.margin
+        hi = ctx.model.q_max.astype(ctx.dtype) - self.margin
+        ub = self.kp * (hi - q) - self.kd * qd
+        lb = self.kp * (lo - q) - self.kd * qd
+        # degenerate ranges (lo > hi after margin) keep lb <= ub
+        ub = jnp.maximum(ub, lb + 1e-6)
+        M = self.qddot.M[off:]
+        c = self.qddot.c[off:]
+        return (ROWS, M, lb - c, ub - c)
 
 
 class DynamicFeasibility(Constraint):

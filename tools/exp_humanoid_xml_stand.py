@@ -39,20 +39,30 @@ def main():
     contacts = ("left_foot_tip", "right_foot_tip")
     print("links:", model.link_names)
     print("frames:", [f[0] for f in model.frames])
+    # Hertz-patch contact: a 7.5 cm rubber sphere under ~225 N flattens
+    # to a ~1.2 cm contact patch — modeled as a 4-point patch in the sim
+    # and a 6D wrench with a matching CoP/moment box in the QP. Pure point
+    # contact leaves the ankle-less biped ZERO pitch authority (measured:
+    # clean forward topple from 15 mm of CoM offset with every task
+    # healthy).
+    PR = 0.012
     plugin = ForceAccPlugin(model, contact_links=contacts,
                             waist_link="pelvis", iters=args.iters,
                             fz_min=args.fz_min, foot_tasks_6d=False,
-                            use_friction_cones=True, mu=0.8,
+                            use_friction_cones=True, mu=0.8, wrench_dim=6,
+                            moment_box=(450 * PR, 450 * PR, 1.0),
                             postural_kp=25.0,
                             use_com_task=True, com_task_weight=args.com_w,
-                            com_kp=args.com_kp)
+                            com_kp=args.com_kp, use_joint_limits=True)
     offsets = {}
     sim_contacts = []
     for c in contacts:
         li, E, p = model.frame_spec(c)
         link = model.link_names[li]
         sim_contacts.append(link)
-        offsets[link] = [tuple(p)]
+        p = np.asarray(p)
+        offsets[link] = [tuple(p + [PR, 0, 0]), tuple(p + [-PR, 0, 0]),
+                         tuple(p + [0, PR, 0]), tuple(p + [0, -PR, 0])]
     st = model.home_state()
     kin = kinematics.fk(model, st)
     tip_z = min(float(kinematics.link_pose(model, kin, c)[1][2])
