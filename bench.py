@@ -108,10 +108,15 @@ def main():
     # ---- MFU: matmul FLOPs of the batched program / wall time / peak ----
     # (VERDICT r3 missing #5 — how far from the hardware ceiling the solver
     # runs, not just solves/s. Analytical jaxpr count: XLA's cost_analysis
-    # omits scan trip counts and would undercount ~50x.)
+    # omits scan trip counts and would undercount ~50x.) FLOPs are linear
+    # in batch, so trace a batch-8 probe and scale — tracing the full
+    # batch-1024 program costs minutes of pure Python.
     from qppvm_tpu import bench_util
+    PROBE = 8
+    probe8 = lambda t: jax.tree.map(lambda a: a[:PROBE], t)  # noqa: E731
     flops = bench_util.jaxpr_matmul_flops(
-        jax.vmap(plugin._step_impl), states, refs_b, warm_b)
+        jax.vmap(plugin._step_impl), probe8(states), probe8(refs_b),
+        probe8(warm_b)) * (BATCH / PROBE)
     device_kind = jax.devices()[0].device_kind
     mfu = bench_util.mfu(flops, dt_total, device_kind)
 

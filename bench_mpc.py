@@ -71,10 +71,17 @@ def main():
 
     # MFU of the whole planning step (analytical jaxpr matmul FLOPs /
     # measured wall / chip peak — VERDICT r3 missing #5; XLA cost_analysis
-    # omits scan trip counts)
+    # omits scan trip counts). FLOPs are linear in the sample count, so
+    # trace an 8-sample probe and scale — tracing the 4096-sample program
+    # costs minutes of pure Python.
     from qppvm_tpu import bench_util
+    PROBE = 8
+    mpc_p = SamplingMPC(plugin, MPPIConfig(n_samples=PROBE,
+                                           horizon=args.horizon,
+                                           push_std=30.0), rcfg)
     flops = bench_util.jaxpr_matmul_flops(
-        mpc._step_impl, key, st, refs, warm, U)
+        mpc_p._step_impl, key, st, refs, warm, mpc_p.init_plan()) \
+        * (args.samples / PROBE)
     mfu = bench_util.mfu(flops, dt, jax.devices()[0].device_kind)
 
     # readbacks + health gate (after timing)
