@@ -162,12 +162,13 @@ def main():
     # line so the driver artifact itself carries the budget verdict
     # (VERDICT r3 next #5). Run as a subprocess: a fresh process keeps its
     # dispatch path clean of this process's readback-degraded transport.
+    import pathlib
     import subprocess
     import sys
-    rt_fields = {"rt_loop_tick_ms": None, "rt_control_tick_ms": None,
-                 "within_budget": False}
+    rt_script = str(pathlib.Path(__file__).resolve().parent
+                    / "bench_rt_loop.py")
     rt = subprocess.run(
-        [sys.executable, "/root/repo/bench_rt_loop.py", "--ticks", "500"],
+        [sys.executable, rt_script, "--ticks", "500"],
         capture_output=True, text=True, timeout=3000)
     if rt.returncode != 0:
         raise RuntimeError(

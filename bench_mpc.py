@@ -82,7 +82,9 @@ def main():
     flops = bench_util.jaxpr_matmul_flops(
         mpc_p._step_impl, key, st, refs, warm, mpc_p.init_plan()) \
         * (args.samples / PROBE)
-    mfu = bench_util.mfu(flops, dt, jax.devices()[0].device_kind)
+    n_dev = mesh.devices.size if mesh is not None else 1
+    mfu = bench_util.mfu(flops, dt, jax.devices()[0].device_kind,
+                         n_devices=n_dev)
 
     # readbacks + health gate (after timing)
     for tag, inf in (("warmup", info0), ("timed", info)):

@@ -118,10 +118,12 @@ def jaxpr_matmul_flops(fn, *args, **kwargs) -> float:
 
 
 def mfu(flops_per_exec: Optional[float], seconds_per_exec: float,
-        device_kind: str) -> Optional[float]:
-    """Model FLOPs utilization: program FLOPs / wall time / chip peak.
-    None when either the FLOPs or the peak is unknown."""
+        device_kind: str, n_devices: int = 1) -> Optional[float]:
+    """Model FLOPs utilization: program FLOPs / wall time / aggregate peak.
+    ``n_devices``: chips participating in the measured program (a sharded
+    plan step divides its FLOPs over the mesh, so the peak is the mesh's,
+    not one chip's — ADVICE r4 #1). None when FLOPs or peak is unknown."""
     peak = peak_flops(device_kind)
     if flops_per_exec is None or peak is None or seconds_per_exec <= 0:
         return None
-    return flops_per_exec / seconds_per_exec / peak
+    return flops_per_exec / seconds_per_exec / (peak * max(1, n_devices))

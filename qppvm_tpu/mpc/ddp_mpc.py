@@ -87,16 +87,29 @@ class CentroidalMPC:
 
     @staticmethod
     def force_ref_offset(res: ilqr.ILQRResult, params, total_weight,
-                         k: int = 0):
+                         k: int = 0, gates=None, wrench_dim: int = 3):
         """``refs["FORCE_REG"]["f"]`` offset realizing the plan's step-k
         contact forces in the WBC: ForceReg anchors the force-distribution
-        nullspace at the gate-weighted equal share plus this offset
-        (tasks/force.py), so adding ``f_plan - equal_share`` makes the
-        commanded distribution TRACK THE PLAN instead of the static share —
-        the force::CoM channel the reference builds but never wires up
-        (/root/reference/src/ForceAcc.cpp:103). 3-vector wrenches only
-        (the centroidal model's per-foot forces)."""
+        nullspace at the GATE-WEIGHTED share ``W * g_i / sum(g)`` plus this
+        offset (tasks/force.py ForceReg.assemble), so adding
+        ``f_plan - gate_share`` makes the commanded distribution TRACK THE
+        PLAN instead of the static share — the force::CoM channel the
+        reference builds but never wires up
+        (/root/reference/src/ForceAcc.cpp:103).
+
+        ``gates``: the plugin's ``refs["contacts"]["active"]`` vector; omit
+        only for an all-contacts-on stack (then the anchor really is the
+        equal share). ``wrench_dim``: the plugin's per-contact wrench size —
+        the centroidal plan's 3-vector forces are embedded in the force rows
+        of each ``wrench_dim``-wide block so the offset length always
+        matches the ForceReg ref (ADVICE r4 #2)."""
         f_plan = res.U[k].reshape(params.nc, 3)
-        share = jnp.zeros_like(f_plan).at[:, 2].set(
-            total_weight / params.nc)
-        return (f_plan - share).reshape(-1)
+        g = (jnp.ones(params.nc, f_plan.dtype) if gates is None
+             else jnp.asarray(gates, f_plan.dtype))
+        share_z = total_weight * g / jnp.maximum(jnp.sum(g), 1e-6)
+        share = jnp.zeros_like(f_plan).at[:, 2].set(share_z)
+        off3 = f_plan - share                       # (nc, 3)
+        if wrench_dim == 3:
+            return off3.reshape(-1)
+        off = jnp.zeros((params.nc, wrench_dim), f_plan.dtype)
+        return off.at[:, :3].set(off3).reshape(-1)

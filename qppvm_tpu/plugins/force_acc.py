@@ -227,9 +227,12 @@ class ForceAccPlugin:
                 ]
         else:
             if self.wrench_dim == 6:
-                # the reference's exact full-wrench bounds
-                # (/root/reference/src/ForceAcc.cpp:74-76), with the
-                # unilateral f_z >= fz_min and the configurable moment box
+                # Force rows match the reference bounds (+/-1000, unilateral
+                # f_z >= fz_min, /root/reference/src/ForceAcc.cpp:74-76); the
+                # MOMENT rows use the configurable ``moment_box`` (default
+                # +/-(30,30,10)) — a deliberate departure from the
+                # reference's +/-1 Nm, which models near-point feet; flat
+                # soles get their CoP authority from the box (ADVICE r4 #3)
                 mb = list(moment_box)
                 ub = jnp.asarray([1000.0, 1000.0, 1000.0] + mb)
                 lb = jnp.asarray([-1000.0, -1000.0, fz_min] +

@@ -124,7 +124,12 @@ class GaitScript:
         consumed only at stride boundaries to re-derive geometry."""
         k = i // self.stride_ticks
         if k >= self.n_strides:
-            # tail: hold the final stride's settled refs (gates all on)
+            # tail: hold the final stride's settled refs (gates all on).
+            # Guard: with no completed stride to hold (n_strides == 0, or
+            # refs_at first called inside the tail region) fall back to the
+            # base refs — already a settled all-gates-on hold (ADVICE r4 #4).
+            if self._script is None:
+                return self.refs
             return self._script.refs_at(self.stride_ticks - 1)
         if k != self._k:
             self._start_stride(k, state)
