@@ -98,6 +98,12 @@ class RolloutConfig:
     stop_kp: float = 200.0
     stop_kd: float = 5.0
     ground_z: float = 0.0
+    # "pallas" routes the per-step cascade solves into the fused
+    # VMEM-resident whole-solve kernel (opt/pallas_qp.py) when the batch
+    # is vmapped — the north-star batched Pallas QP. "xla" keeps the
+    # opt/qp.py path. Numerics are parity-pinned (tests/test_pallas_qp.py);
+    # levels outside the kernel's profile scope fall back automatically.
+    qp_backend: str = "xla"
 
 
 def standing_state(model: RobotModel, contact_links: Sequence[str],
@@ -404,7 +410,8 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
         rho_adapt_tol=cfg.qp_rho_adapt_tol,
         rho_scale_min=cfg.qp_rho_scale_min,
         scale_iters=cfg.qp_scale_iters,
-        pinv_ns_iters=cfg.qp_pinv_ns_iters)
+        pinv_ns_iters=cfg.qp_pinv_ns_iters,
+        backend=cfg.qp_backend)
 
     @f32_matmuls
     def rollout(state0: RobotState, refs0, warm0, controls, scenario,

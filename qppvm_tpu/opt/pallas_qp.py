@@ -176,6 +176,17 @@ def _diag(M):
     return jnp.concatenate([M[i][i:i + 1, :] for i in range(n)], axis=0)
 
 
+def _sym(M):
+    """Exact symmetrization (0.5*(M + M^T), batch-wise). REQUIRED hygiene,
+    not an optimization: ``_bmm(X, .)`` contracts over X's rows, i.e.
+    computes X^T(.), which equals X(.) only for a bitwise-symmetric X. An
+    NS iterate carried WITHOUT re-symmetrization lets its f32 skew
+    component roughly double per iteration (measured: the 26-iteration
+    Gram inverse on the humanoid level-1 equality rows diverged to 1e30;
+    true NS is self-correcting, the transposed substitution is not)."""
+    return 0.5 * (M + jnp.swapaxes(M, 0, 1))
+
+
 def _eye3(n, L, dtype):
     r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
@@ -228,8 +239,8 @@ def _ns_spd_inverse(G, iters):
                eye)
 
     def body(_, X):
-        KX = _bmm(Ks, X)            # Ks^T X = Ks X (sym)
-        return _bmm(X, 2.0 * eye - KX)   # X^T (.) = X (.) (sym iterates)
+        KX = _bmm(Ks, X)                     # Ks^T X = Ks X (sym)
+        return _sym(_bmm(X, 2.0 * eye - KX))  # true NS + re-symmetrize
 
     X = jax.lax.fori_loop(0, iters, body, X)
     return X * d[:, None, :] * d[None, :, :]
@@ -306,6 +317,9 @@ def _level_kernel(cfg: PallasQPConfig, n: int, m: int,
         e = e * se
         Ps = Ps * sd[:, None, :] * sd[None, :, :]
         As = As * se[:, None, :] * sd[None, :, :]
+    # _bmm contracts over rows (computes M^T .), so every matrix treated as
+    # symmetric must be EXACTLY symmetric — see _sym's docstring.
+    Ps = _sym(Ps)
     qs = d * q0
 
     # --- equality elimination (scaled) ------------------------------------
@@ -332,7 +346,7 @@ def _level_kernel(cfg: PallasQPConfig, n: int, m: int,
 
         Y = jax.lax.fori_loop(0, cfg.pinv_ns_iters, pinv_body, Y)
 
-        Pn = eye_n - _bmm(Y, Es)             # I - E^+ E (projector, sym)
+        Pn = _sym(eye_n - _bmm(Y, Es))       # I - E^+ E (projector, sym)
         x_p = _bmv(Y, b_es)                  # particular solution (scaled)
         x_p = x_p + _bmv(Y, b_es - _rowdots(Es, x_p))
         Ax_p = _rowdots(As, x_p)
@@ -366,7 +380,7 @@ def _level_kernel(cfg: PallasQPConfig, n: int, m: int,
     M0 = Ps + _bmm(As, As * rho_v[:, None, :])
     if has_eq:
         pin = cfg.eq_pin * jnp.sum(_diag(M0), axis=0, keepdims=True) / n
-        K = _bmm(_bmm(M0, Pn), Pn) + (sigma + pin) * eye_n - \
+        K = _sym(_bmm(_bmm(M0, Pn), Pn)) + (sigma + pin) * eye_n - \
             pin[:, None, :] * Pn
     else:
         K = M0 + sigma * eye_n
@@ -382,10 +396,10 @@ def _level_kernel(cfg: PallasQPConfig, n: int, m: int,
     Ks_norm1 = _vmax(_colsum_abs(K * sq[:, None, :] * sq[None, :, :]))
     cold = _diagm(dinv / jnp.maximum(Ks_norm1, 1e-30), eye_n)
     warm_ok = err < 0.9                      # (1, L) per-lane guard
-    X = jnp.where(warm_ok[None, :, :], Xg, cold)
+    X = _sym(jnp.where(warm_ok[None, :, :], Xg, cold))
 
     def ns_body(_, X):
-        return _bmm(X, 2.0 * eye_n - _bmm(K, X))
+        return _sym(_bmm(X, 2.0 * eye_n - _bmm(K, X)))
 
     w_iters = cfg.warm_kinv_iters
     X = jax.lax.fori_loop(0, min(w_iters, cfg.kinv_iters), ns_body, X)
