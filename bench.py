@@ -44,6 +44,11 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1024)
+    # "pallas" routes the vmapped throughput section through the fused
+    # VMEM-resident whole-solve kernel (opt/pallas_qp.py); the unbatched
+    # latency/rt-loop sections are unaffected (the kernel is batch-only by
+    # design — custom_vmap routes only vmapped solves).
+    ap.add_argument("--backend", default="xla", choices=("xla", "pallas"))
     args = ap.parse_args()
 
     model = zoo.humanoid()  # 32 DoF + floating base
@@ -65,7 +70,8 @@ def main():
                                              warm_kinv_iters=4,
                                              cold_ns_iters=10,
                                              scale_iters=2,
-                                             pinv_ns_iters=5))
+                                             pinv_ns_iters=5,
+                                             backend=args.backend))
     state = standing_state(model, contacts)
     refs, warm, _ = plugin.on_start(state)
 

@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--robot", default="humanoid")
     ap.add_argument("--qp-iters", type=int, default=12)
     ap.add_argument("--warm-kinv-iters", type=int, default=8)  # saturating: see docs/BENCHMARKS.md MPC sweep
+    ap.add_argument("--qp-backend", default="xla", choices=("xla", "pallas"))
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -52,7 +53,8 @@ def main():
     mppi = MPPIConfig(n_samples=args.samples, horizon=args.horizon,
                       push_std=30.0)
     rcfg = RolloutConfig(horizon=args.horizon, qp_iters=args.qp_iters,
-                         qp_warm_kinv_iters=args.warm_kinv_iters)
+                         qp_warm_kinv_iters=args.warm_kinv_iters,
+                         qp_backend=args.qp_backend)
     mpc = SamplingMPC(plugin, mppi, rcfg, mesh=mesh)
     U = mpc.init_plan()
     key = jax.random.PRNGKey(0)
