@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--qp-iters", type=int, default=12)
     ap.add_argument("--warm-kinv-iters", type=int, default=8)  # saturating: see docs/BENCHMARKS.md MPC sweep
     ap.add_argument("--qp-backend", default="xla", choices=("xla", "pallas"))
+    # Bridge declared scale and cadence (VERDICT r4 next #5): measure the
+    # largest healthy sample count whose plan step fits a 1/hz budget on
+    # this chip, sweeping batch sizes downward from --samples. Emits
+    # samples_at_{hz}hz in the JSON line. 0 disables the sweep.
+    ap.add_argument("--sweep-hz", type=float, default=0.0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -71,6 +76,38 @@ def main():
     U2.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
 
+    # ---- cadence sweep: largest sample count that fits 1/hz ------------
+    # (still BEFORE any readback — see the transport-degradation note)
+    sweep_fields = {}
+    sweep_infos = []
+    if args.sweep_hz > 0:
+        budget_s = 1.0 / args.sweep_hz
+        n = args.samples
+        found = None
+        while n >= 64:
+            mpc_n = SamplingMPC(
+                plugin, MPPIConfig(n_samples=n, horizon=args.horizon,
+                                   push_std=30.0), rcfg, mesh=mesh)
+            Un, _ = mpc_n.plan(jax.random.PRNGKey(7), st, refs, warm,
+                               mpc_n.init_plan())
+            Un.block_until_ready()  # compile
+            t0 = time.perf_counter()
+            for i in range(3):
+                Un, info_n = mpc_n.plan(jax.random.PRNGKey(10 + i), st,
+                                        refs, warm, Un)
+            Un.block_until_ready()
+            dt_n = (time.perf_counter() - t0) / 3
+            sweep_infos.append((n, info_n))
+            if dt_n <= budget_s:
+                found = (n, dt_n)
+                break
+            n //= 2
+        tag = f"{args.sweep_hz:g}hz"
+        sweep_fields = {
+            f"samples_at_{tag}": found[0] if found else 0,
+            f"plan_ms_at_{tag}": round(found[1] * 1e3, 1) if found
+            else None}
+
     # MFU of the whole planning step (analytical jaxpr matmul FLOPs /
     # measured wall / chip peak — VERDICT r3 missing #5; XLA cost_analysis
     # omits scan trip counts). FLOPs are linear in the sample count, so
@@ -89,7 +126,8 @@ def main():
                          n_devices=n_dev)
 
     # readbacks + health gate (after timing)
-    for tag, inf in (("warmup", info0), ("timed", info)):
+    for tag, inf in (("warmup", info0), ("timed", info),
+                     *((f"sweep{n}", i_) for n, i_ in sweep_infos)):
         fail_frac = float(inf["solver_fail_frac"])
         prim_res_max = float(inf["prim_res_max"])
         if not np.isfinite(float(inf["cost_mean"])):
@@ -100,6 +138,7 @@ def main():
                 f"solver_fail_frac={fail_frac:.4f} (prim_res_max="
                 f"{prim_res_max:.4g}) in {tag} batch — rollout QPs "
                 f"unhealthy; refusing to report failed-solve throughput")
+    fail_frac = float(info["solver_fail_frac"])  # report the timed batch
 
     qp_solves = args.samples * args.horizon
     print(json.dumps({
@@ -117,6 +156,8 @@ def main():
         "ess": round(float(info["ess"]), 1),
         "mfu": None if mfu is None else round(mfu, 4),
         "program_flops_per_plan": flops,
+        "qp_backend": args.qp_backend,
+        **sweep_fields,
         "device": str(jax.devices()[0]),
     }))
 

@@ -94,6 +94,15 @@ def _jaxpr_flops(jaxpr) -> float:
         elif name == "cond":
             total += max((_jaxpr_flops(br.jaxpr)
                           for br in eqn.params["branches"]), default=0.0)
+        elif name == "pallas_call":
+            # the fused QP kernel does its matmul math as batch-on-lanes
+            # elementwise FMAs (no dot_general inside), so count its
+            # declared algorithmic CostEstimate instead — the same 2*M*N*K
+            # accounting, stated at kernel-build time (opt/pallas_qp.py)
+            ce = eqn.params.get("cost_estimate") if eqn.params else None
+            f = getattr(ce, "flops", None) if ce is not None else None
+            if f:
+                total += float(f)
         else:
             for key in ("jaxpr", "call_jaxpr"):
                 sub = eqn.params.get(key) if eqn.params else None

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -89,8 +89,10 @@ class RolloutConfig:
     # cone limit and the jittered states blow the rollout QPs (measured:
     # prim_res 5e-2 on NOMINAL standing rollouts). These defaults keep the
     # anchors' stiction semantics with poles inside the coarse-step
-    # stability region; tests/test_rollout_physics.py quantifies the
-    # remaining planner-vs-plant gap.
+    # stability region. tests/test_rollout_physics.py pins one-step
+    # equivalence at MATCHED params; the gap these h-scaled DEPLOYED
+    # values leave against the true plant (closed loop, real cadence) is
+    # measured and bounded in tests/test_rollout_deployed_gap.py.
     contact_kt: float = 4e3
     contact_kd_t: float = 100.0
     # joint hard-stop gains (runtime.robot_interface.stop_torques), h-scaled
@@ -257,8 +259,57 @@ def make_swing_primitive(plugin: ForceAccPlugin, *, z_lift: float = 0.05,
     return apply, init_theta
 
 
+def make_capture_terminal_cost(plugin: ForceAccPlugin, *,
+                               weight: float = 600.0,
+                               z_contact: float = 0.03,
+                               sharpness: float = 0.008,
+                               far_m2: float = 4.0,
+                               g: float = 9.81) -> Callable:
+    """Instantaneous-capture-point terminal cost: the value beyond the
+    rollout horizon (VERDICT r4 next #3 — the trimmed chain is stable to
+    ~0.7 s while a fall from holding lands at ~1.0 s, so a finite-horizon
+    cost comparison is blind exactly at the step-vs-hold decision).
+
+    The ICP  xi = com_xy + com_vel_xy * sqrt(com_z / g)  is where the CoM
+    will settle if the robot does nothing but balance; a state is
+    capturable iff xi lies over the support. The terminal cost is
+    ``weight * smoothmin_i(|xi - p_i|^2 + (1 - w_i) * far_m2)`` over the
+    contact feet, with w_i a smooth height gate (feet in the air cannot
+    capture; ``far_m2`` prices them as a 2 m-away support). A candidate
+    that re-plants a foot under the ICP zeroes this term; holding with
+    the ICP outside the stance patch pays ~weight * |xi - p_stance|^2 —
+    the post-horizon fall the stage costs cannot see.
+
+    LIPM theory (Pratt's capture point / Koolen et al. capturability);
+    implementation is this repo's own. Pure function of the final state —
+    safe inside vmap/scan/jit.
+    """
+    model = plugin.model
+    contact_idx = tuple(model.link_index(c) for c in plugin.contact_links)
+
+    def term(model_, state: RobotState):
+        kin = kinematics.fk(model_, state)
+        _, com_p = kinematics.com(model_, kin)
+        vel_all = kinematics.link_velocities(model_, kin, state)
+        com_v = kinematics.com_velocity(model_, kin, state, vel_all)
+        omega = jnp.sqrt(jnp.maximum(com_p[2], 0.05) / g)
+        icp = com_p[:2] + com_v[:2] * omega
+        p_feet = jnp.stack([kin.p[li] for li in contact_idx])  # (nc, 3)
+        w = jax.nn.sigmoid((z_contact - p_feet[:, 2]) / sharpness)
+        d2 = jnp.sum((icp[None, :] - p_feet[:, :2]) ** 2, axis=-1) \
+            + (1.0 - w) * far_m2
+        # smooth min over feet (temperature 1 cm^2): the NEAREST loaded
+        # foot is the capture support
+        tau_t = 1e-2
+        d2_min = -tau_t * jax.nn.logsumexp(-d2 / tau_t)
+        return weight * d2_min
+
+    return term
+
+
 def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
-                    cost_fn: Callable, swing=None, contact_offsets=None):
+                    cost_fn: Callable, swing=None, contact_offsets=None,
+                    terminal_cost: Optional[Callable] = None):
     """Build rollout(state0, refs0, warm0, controls, scenario[, theta])
     -> (cost, health).
 
@@ -448,13 +499,19 @@ def make_rollout_fn(plugin: ForceAccPlugin, cfg: RolloutConfig,
         # state (the plant does the same at construction)
         anchors0 = init_anchors(model, state0, contact_idx, contact_offs, dt)
         xs = (controls, push, gate_seq, t_fracs)
-        _, (costs, prims, fails) = jax.lax.scan(
+        carry_f, (costs, prims, fails) = jax.lax.scan(
             one_step,
             (state0, refs0, warm0, waist_p0, binv0, anchors0, scen, theta),
             xs)
         health = {"prim_res_max": jnp.max(prims),
                   "solver_failed": jnp.any(fails)}
-        return jnp.sum(costs), health
+        total = jnp.sum(costs)
+        if terminal_cost is not None:
+            # value beyond the horizon (e.g. make_capture_terminal_cost):
+            # evaluated on the FINAL state so step-vs-hold decisions are
+            # not blind past the stable rollout horizon
+            total = total + terminal_cost(model, carry_f[0])
+        return total, health
 
     def init_carry(state0: RobotState, refs0, warm0, scenario=None,
                    theta=None):

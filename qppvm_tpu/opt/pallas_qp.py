@@ -109,27 +109,16 @@ def on_tpu() -> bool:
 # on lanes. A per-item vector v_b of shape (p,) is a value (p, L).
 # ---------------------------------------------------------------------------
 
-def _bmm(A, B, unroll: int = 4):
+def _bmm(A, B):
     """Batched C_b = A_b^T @ B_b: contract over the OUTER (row) dim.
     A (p, n, L), B (p, m, L) -> (n, m, L). Each step is a sublane-broadcast
-    outer-product FMA at full lane width; ``unroll`` amortizes the
-    accumulator's VMEM read-modify-write over several contraction steps."""
+    outer-product FMA at full lane width. STATICALLY unrolled over the
+    contraction dim: Mosaic has no dynamic_slice on VMEM values, and p is
+    a trace-time constant anyway."""
     p, n, L = A.shape
     m = B.shape[1]
     C = jnp.zeros((n, m, L), A.dtype)
-    full = p // unroll
-
-    def body(i, C):
-        k0 = i * unroll
-        for t in range(unroll):
-            a = jax.lax.dynamic_index_in_dim(A, k0 + t, 0, keepdims=False)
-            b = jax.lax.dynamic_index_in_dim(B, k0 + t, 0, keepdims=False)
-            C = C + a[:, None, :] * b[None, :, :]
-        return C
-
-    if full > 0:
-        C = jax.lax.fori_loop(0, full, body, C)
-    for k in range(full * unroll, p):        # static tail
+    for k in range(p):
         C = C + A[k][:, None, :] * B[k][None, :, :]
     return C
 
@@ -137,15 +126,12 @@ def _bmm(A, B, unroll: int = 4):
 def _bmv(M, v):
     """Batched y_b = M_b^T @ v_b (contract outer). M (p, n, L), v (p, L)
     -> (n, L). Symmetric matrices (P, K, Kinv, Pn, Ginv) use this directly
-    for M @ v."""
+    for M @ v. Static unroll (see _bmm)."""
     p, n, L = M.shape
-
-    def body(k, acc):
-        mk = jax.lax.dynamic_index_in_dim(M, k, 0, keepdims=False)
-        vk = jax.lax.dynamic_index_in_dim(v, k, 0, keepdims=True)  # (1, L)
-        return acc + mk * vk
-
-    return jax.lax.fori_loop(0, p, body, jnp.zeros((n, L), M.dtype))
+    acc = jnp.zeros((n, L), M.dtype)
+    for k in range(p):
+        acc = acc + M[k] * v[k:k + 1]
+    return acc
 
 
 def _rowdots(M, v):
@@ -201,14 +187,12 @@ def _diagm(v, eye):
 
 
 def _colmax_abs(M):
-    """max over rows of |M_b|: (p, n, L) -> (n, L)."""
+    """max over rows of |M_b|: (p, n, L) -> (n, L). Static unroll."""
     p, n, L = M.shape
-
-    def body(k, acc):
-        mk = jax.lax.dynamic_index_in_dim(M, k, 0, keepdims=False)
-        return jnp.maximum(acc, jnp.abs(mk))
-
-    return jax.lax.fori_loop(0, p, body, jnp.zeros((n, L), M.dtype))
+    acc = jnp.zeros((n, L), M.dtype)
+    for k in range(p):
+        acc = jnp.maximum(acc, jnp.abs(M[k]))
+    return acc
 
 
 def _rowmax_abs(M):
@@ -247,26 +231,23 @@ def _ns_spd_inverse(G, iters):
 
 
 def _colsum_abs(M):
-    """sum over rows of |M_b|: (p, n, L) -> (n, L)."""
+    """sum over rows of |M_b|: (p, n, L) -> (n, L). Static unroll."""
     p, n, L = M.shape
-
-    def body(k, acc):
-        mk = jax.lax.dynamic_index_in_dim(M, k, 0, keepdims=False)
-        return acc + jnp.abs(mk)
-
-    return jax.lax.fori_loop(0, p, body, jnp.zeros((n, L), M.dtype))
+    acc = jnp.zeros((n, L), M.dtype)
+    for k in range(p):
+        acc = acc + jnp.abs(M[k])
+    return acc
 
 
 def _rowsum_abs_max(M):
-    """max over rows of (sum over columns of |M_b|): (n, n, L) -> (1, L)."""
+    """max over rows of (sum over columns of |M_b|): (n, n, L) -> (1, L).
+    Static unroll."""
     n = M.shape[0]
-
-    def body(k, acc):
-        mk = jax.lax.dynamic_index_in_dim(M, k, 0, keepdims=False)
-        return jnp.maximum(acc, jnp.sum(jnp.abs(mk), axis=0, keepdims=True))
-
-    return jax.lax.fori_loop(0, n, body,
-                             jnp.zeros((1, M.shape[-1]), M.dtype))
+    acc = jnp.zeros((1, M.shape[-1]), M.dtype)
+    for k in range(n):
+        acc = jnp.maximum(acc, jnp.sum(jnp.abs(M[k]), axis=0,
+                                       keepdims=True))
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -294,9 +275,22 @@ def _level_kernel(cfg: PallasQPConfig, n: int, m: int,
     l0 = l_ref[...]
     u0 = u_ref[...]
 
+    # Mosaic (unlike interpret mode) rejects zero-size vector slices, so
+    # every head/tail split must skip its empty parts when h or t is 0.
+    def _cat_ht(head, tail, axis=0):
+        parts = ([head] if h > 0 else []) + ([tail] if t > 0 else [])
+        return parts[0] if len(parts) == 1 else \
+            jnp.concatenate(parts, axis=axis)
+
+    def _cat_hmt(head, mid, tail, axis=0):
+        parts = (([head] if h > 0 else []) + [mid]
+                 + ([tail] if t > 0 else []))
+        return parts[0] if len(parts) == 1 else \
+            jnp.concatenate(parts, axis=axis)
+
     if has_eq:
-        E0 = jnp.concatenate([A0[:h], A0[m - t:]], axis=0)   # (ne, n, L)
-        b_e0 = jnp.concatenate([l0[:h], l0[m - t:]], axis=0)  # (ne, L)
+        E0 = _cat_ht(A0[:h], A0[m - t:])                     # (ne, n, L)
+        b_e0 = _cat_ht(l0[:h], l0[m - t:])                   # (ne, L)
         A_in0 = A0[h:m - t]
         l_in0 = l0[h:m - t]
         u_in0 = u0[h:m - t]
@@ -458,8 +452,8 @@ def _level_kernel(cfg: PallasQPConfig, n: int, m: int,
         y_in = e * y
         nu = -_rowdots(Y, _bmv(Ps, xs) + qs + _bmv(As, y))   # (ne, L)
         y_eq = R_eq * nu
-        z_full = jnp.concatenate([b_e0[:h], z_in, b_e0[h:]], axis=0)
-        y_full = jnp.concatenate([y_eq[:h], y_in, y_eq[h:]], axis=0)
+        z_full = _cat_hmt(b_e0[:h], z_in, b_e0[h:])
+        y_full = _cat_hmt(y_eq[:h], y_in, y_eq[h:])
     else:
         x_out = d * x
         z_full = z / jnp.maximum(e, 1e-30)
@@ -472,7 +466,7 @@ def _level_kernel(cfg: PallasQPConfig, n: int, m: int,
     P0x = _bmv(Ps, xd) / d
     if has_eq:
         E0x = _rowdots(Es, xd) / jnp.maximum(R_eq, 1e-30)
-        A0x = jnp.concatenate([E0x[:h], Ain_x, E0x[h:]], axis=0)
+        A0x = _cat_hmt(E0x[:h], Ain_x, E0x[h:])
         # A_in0^T y_in = (As/(e d))^T (e y) = (1/d) As^T y; likewise the
         # equality rows contribute (1/d) Es^T nu (y_eq = R nu).
         A0ty = (_bmv(As, y) + _bmv(Es, nu)) / d

@@ -153,6 +153,30 @@ class LegLiftScript:
             shift = sup_xy.mean(axis=0) - com0
         self.w0 = jnp.asarray(waist0, jnp.float32)
         self.w1 = jnp.asarray(waist0 + np.r_[shift, 0.0], jnp.float32)
+        # CoM-task channel (plugins built with use_com_task=True expose a
+        # "COM" ref): drive the MEASURED CoM through the same min-jerk
+        # transfer, closing the loop on the quantity that decides balance.
+        # The waist task alone is an open-loop CoM proxy: its soft-weighted
+        # tradeoff against postural/feet rows leaves a steady ~50% ramp
+        # lag, so the CoM arrives at single support still carrying
+        # transfer velocity, the ICP leaves the 5 cm foot patch, the CoP
+        # saturates and the stance foot skids sideways (measured on the
+        # biped step-in-place: CoM drifts ~0.19 m/s through the whole
+        # single-support window with |mx|=|my| pinned at the moment box
+        # while upright stays 1.00 — a slow skid, not a topple, that
+        # leaves stride 2 with the CoM outside the support polygon).
+        # on_start puts a "COM" ref entry in every refs pytree, so gate on
+        # the task actually being IN the stack, not on the key existing
+        self.has_com = bool(getattr(plugin, "use_com_task", False)) \
+            and "COM" in refs
+        # The script's intended CoM trajectory (the measured CoM at script
+        # start, min-jerked by the same ``shift`` distance the waist
+        # moves). Always computed: the CoM-task channel tracks it when the
+        # plugin stacks that task, and GaitScript's com_servo reads it as
+        # the reference for the waist-target correction.
+        com3 = np.asarray(kinematics.com(model, kin0)[1], np.float64)
+        self.c0 = jnp.asarray(com3, jnp.float32)
+        self.c1 = jnp.asarray(com3 + np.r_[shift, 0.0], jnp.float32)
 
         p0 = np.asarray(refs[self.key]["p"], np.float64)
         dx, dy = float(foothold_offset[0]), float(foothold_offset[1])
@@ -177,6 +201,18 @@ class LegLiftScript:
         self.total = p.total
 
     # -- helpers ---------------------------------------------------------
+    def com_ref_at(self, i: int):
+        """The script's intended CoM (position, velocity) at tick ``i`` —
+        the same min-jerk clock the waist follows. Read by GaitScript's
+        com_servo to turn measured CoM error (and error RATE — the phase
+        lead that brakes the transfer before it overshoots) into a
+        waist-target correction."""
+        t_shift = float(np.clip((i - self.t_shift0) * self.dt, 0.0,
+                                self.ph.shift * self.dt))
+        p, v, _ = min_jerk_pva(self.c0, self.c1, t_shift,
+                               self.ph.shift * self.dt)
+        return p, v
+
     def _gate(self, g: float):
         return self._gate_on.at[self.foot_i].set(jnp.float32(g))
 
@@ -211,6 +247,12 @@ class LegLiftScript:
                                ph.shift * dt))
         wp, wv, wa = min_jerk_pva(self.w0, self.w1, t_shift, ph.shift * dt)
         r = self._set_cart(r, "waist_task", wp, wv, wa)
+        if self.has_com:
+            cp, cv, ca = min_jerk_pva(self.c0, self.c1, t_shift,
+                                      ph.shift * dt)
+            cr = dict(r["COM"])
+            cr["p"], cr["v"], cr["a"] = cp, cv, ca
+            r["COM"] = cr
         gate = self._gate_on
         z3 = jnp.zeros(3, jnp.float32)
         if self.t_unload0 <= i < self.t_lift0:

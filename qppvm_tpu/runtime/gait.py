@@ -16,6 +16,7 @@ function serves the whole walk.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -50,6 +51,12 @@ class GaitScript:
                  n_strides: int = 4,
                  phases: Optional[LegLiftPhases] = None,
                  shift_mode: str = "centroid",
+                 shift_a_max: Optional[float] = None,
+                 shift_v_max: float = 0.25,
+                 shift_ticks_max: Optional[int] = None,
+                 unload_gate: Optional[Dict] = None,
+                 com_servo: Optional[float] = None,
+                 com_servo_max: float = 0.15,
                  tail: int = 300, **lift_kw):
         self.model = model
         self.plugin = plugin
@@ -76,17 +83,88 @@ class GaitScript:
             settle=100, shift=350, dwell=100, unload=150,
             lift=250, hold=0, lower=250, reload=200)
         self.shift_mode = shift_mode
+        # Capture-point-aware shift pacing (the round-4 humanoid 2nd-shift
+        # fix): a min-jerk CoM transfer of distance D over T demands peak
+        # CoM acceleration 5.77*D/T^2, which the contact CoP can only
+        # supply while the ZMP excursion (z/g)*a stays inside the support
+        # polygon behind the CoM. Stride k>0 of a biped step-in-place is a
+        # DOUBLE-distance transfer (over-right -> over-left), so a fixed
+        # shift duration that works from center violates that bound and
+        # topples the robot at the 2nd weight shift (measured, round 4).
+        # With ``shift_a_max`` set, each stride's shift duration is
+        # re-derived from the ACTUAL transfer distance at the stride
+        # boundary: T >= sqrt(5.77*D/a_max) (and >= 1.875*D/v_max),
+        # floored at ``phases.shift`` and capped at ``shift_ticks_max``
+        # (default 4x phases.shift). None keeps fixed durations (the
+        # quadruped gait default, where per-stride transfers are short).
+        self.shift_a_max = shift_a_max
+        self.shift_v_max = float(shift_v_max)
+        # Event-gated unload (the other half of the 2nd-shift fix): a
+        # clock-driven schedule starts unloading while the CoM is still in
+        # transit — it enters single support carrying transfer velocity,
+        # the ICP leaves the stance patch and the robot skids (see the
+        # capture-point pacing note above). With ``unload_gate`` set, the
+        # script clock PAUSES at the unload boundary until the measured
+        # CoM is over the remaining support and slow:
+        #   {"tol_p": m, "tol_v": m/s, "max_extra": ticks}
+        # (max_extra bounds the pause; on timeout the walk proceeds —
+        # degraded but never deadlocked).
+        if unload_gate is not None:
+            self.unload_gate = dict(tol_p=0.02, tol_v=0.05, max_extra=1500)
+            self.unload_gate.update(unload_gate)
+        else:
+            self.unload_gate = None
+        # CoM servo on the waist TARGET (the decisive piece of the biped
+        # 2nd-shift fix). Measured root cause: the pelvis tracks its
+        # min-jerk essentially perfectly (cmd == QP == plant acceleration,
+        # sub-mm error — instrumented), but the CoM is NOT the pelvis —
+        # unactuated upper-body/leg mass lags the transfer by ~6 cm, then
+        # catches up with momentum and overshoots the stance foot; the CoP
+        # saturates and the stance foot skids sideways. ``com_servo``
+        # (a dict of gains; True for defaults) closes a PD+I loop from the
+        # MEASURED CoM (position AND velocity) against the script's
+        # intended CoM trajectory (LegLiftScript.com_ref_at) into a
+        # bounded waist-reference offset: the pelvis target moves wherever
+        # it must for the measured CoM to track the plan. The D term is
+        # load-bearing phase lead — a pure integrator was measured to
+        # AMPLIFY the overshoot (windup: the CoM arrives carrying ~3x the
+        # reference velocity and the lagging correction can't unwind).
+        # Reference-level CoM feedback through a task channel whose
+        # tracking is tight — the torque-control analog of the classic
+        # position-controlled-humanoid CoM/pelvis admittance loop.
+        if com_servo:
+            self.com_servo = dict(kp=1.0, kd=0.4, ki=1.0, max=0.12)
+            if isinstance(com_servo, dict):
+                self.com_servo.update(com_servo)
+        else:
+            self.com_servo = None
+        self.com_servo_max = float(com_servo_max)
+        self._wint = np.zeros(2, np.float64)
+        self._extra = 0
         self.lift_kw = lift_kw
+        self.dt = float(lift_kw.get("dt", 1e-3))
         self.stride_ticks = self.phases.total
+        self.shift_ticks_max = int(shift_ticks_max
+                                   if shift_ticks_max is not None
+                                   else 4 * self.phases.shift)
         self.tail = int(tail)
-        self.total = self.n_strides * self.stride_ticks + self.tail
+        # Upper bound on the walk length: with adaptive pacing each stride
+        # is at most phases-with-max-shift long; extra ticks are spent in
+        # the tail's settled hold. Exact when shift_a_max is None.
+        max_stride = (self.stride_ticks if shift_a_max is None
+                      else self.stride_ticks - self.phases.shift
+                      + self.shift_ticks_max)
+        if self.unload_gate is not None:
+            max_stride += self.unload_gate["max_extra"]
+        self.total = self.n_strides * max_stride + self.tail
         self._script: Optional[LegLiftScript] = None
         self._k = -1
+        self._t0 = 0
 
     def swing_foot(self, k: int) -> str:
         return self.order[k % len(self.order)]
 
-    def _start_stride(self, k: int, state) -> None:
+    def _start_stride(self, k: int, state, t0: int) -> None:
         kin = kinematics.fk(self.model, state)
         # Re-anchor each foot reference in x/z at its ACTUAL pose
         # (resetReference semantics, /root/reference/src/ForceAcc.cpp:
@@ -111,26 +189,96 @@ class GaitScript:
             self.refs[foot + "_cartesian"]["p"])[1])
         offset = (self.stride[0],
                   self.stride[1] + (self._y_nom[foot] - p0y))
+        phases = self.phases
+        if self.shift_a_max is not None:
+            # capture-point-aware pacing: re-derive THIS stride's shift
+            # duration from the actual CoM -> support-centroid transfer
+            # distance (min-jerk peak accel 5.77*D/T^2 <= a_max, peak vel
+            # 1.875*D/T <= v_max) — see __init__ docs for the physics.
+            sup_xy = np.stack(
+                [np.asarray(kin.p[self.model.link_index(c)], np.float64)[:2]
+                 for c in self.plugin.contact_links if c != foot])
+            com0 = np.asarray(kinematics.com(self.model, kin)[1],
+                              np.float64)[:2]
+            D = float(np.linalg.norm(sup_xy.mean(axis=0) - com0))
+            T = max(np.sqrt(5.77 * D / self.shift_a_max),
+                    1.875 * D / self.shift_v_max)
+            ticks = int(np.ceil(T / self.dt))
+            phases = dataclasses.replace(
+                self.phases, shift=int(np.clip(ticks, self.phases.shift,
+                                               self.shift_ticks_max)))
         self._script = LegLiftScript(
             self.model, self.plugin, self.refs, self._waist,
-            foot, state=state, phases=self.phases,
+            foot, state=state, phases=phases,
             foothold_offset=offset, shift_mode=self.shift_mode,
             **self.lift_kw)
         self._waist = np.asarray(self._script.w1, np.float64)
         self._k = k
+        self._t0 = int(t0)
+        self._extra = 0
+
+    def _com_settled(self, state) -> bool:
+        """Measured CoM over the remaining support and slow (the unload
+        gate's condition)."""
+        kin = kinematics.fk(self.model, state)
+        _, com_p = kinematics.com(self.model, kin)
+        vel_all = kinematics.link_velocities(self.model, kin, state)
+        com_v = kinematics.com_velocity(self.model, kin, state, vel_all)
+        sup = np.stack(
+            [np.asarray(kin.p[self.model.link_index(c)], np.float64)[:2]
+             for c in self._script.support])
+        err = float(np.linalg.norm(sup.mean(axis=0)
+                                   - np.asarray(com_p, np.float64)[:2]))
+        spd = float(np.linalg.norm(np.asarray(com_v, np.float64)[:2]))
+        g = self.unload_gate
+        return err <= g["tol_p"] and spd <= g["tol_v"]
 
     def refs_at(self, i: int, state) -> Dict:
-        """Per-tick refs. ``state``: the CURRENT (estimated) robot state —
-        consumed only at stride boundaries to re-derive geometry."""
-        k = i // self.stride_ticks
-        if k >= self.n_strides:
-            # tail: hold the final stride's settled refs (gates all on).
-            # Guard: with no completed stride to hold (n_strides == 0, or
-            # refs_at first called inside the tail region) fall back to the
-            # base refs — already a settled all-gates-on hold (ADVICE r4 #4).
-            if self._script is None:
+        """Per-tick refs (drive with monotonically increasing ``i``).
+        ``state``: the CURRENT (estimated) robot state — consumed only at
+        stride boundaries to re-derive geometry. Stride boundaries are
+        dynamic (adaptive shift pacing makes stride lengths data-
+        dependent); ticks past the last stride hold its settled refs."""
+        if self._script is None:
+            # no strides to run (n_strides == 0): the base refs are
+            # already a settled all-gates-on hold (ADVICE r4 #4)
+            if self.n_strides == 0:
                 return self.refs
-            return self._script.refs_at(self.stride_ticks - 1)
-        if k != self._k:
-            self._start_stride(k, state)
-        return self._script.refs_at(i - k * self.stride_ticks)
+            self._start_stride(0, state, t0=i)
+        while (self._k + 1 < self.n_strides
+               and i >= self._t0 + self._script.total + self._extra):
+            self._start_stride(self._k + 1, state,
+                               t0=self._t0 + self._script.total
+                               + self._extra)
+        j = i - self._t0 - self._extra
+        if (self.unload_gate is not None
+                and j == self._script.t_unload0
+                and self._extra < self.unload_gate["max_extra"]
+                and not self._com_settled(state)):
+            # pause the script clock at the unload boundary: keep emitting
+            # the settled pre-unload refs until the CoM has arrived
+            self._extra += 1
+            j -= 1
+        jj = min(j, self._script.total - 1)  # tail holds the settled refs
+        r = self._script.refs_at(jj)
+        if self.com_servo is not None:
+            g = self.com_servo
+            kin = kinematics.fk(self.model, state)
+            _, com_p = kinematics.com(self.model, kin)
+            vel_all = kinematics.link_velocities(self.model, kin, state)
+            com_v = kinematics.com_velocity(self.model, kin, state,
+                                            vel_all)
+            cr_p, cr_v = self._script.com_ref_at(jj)
+            e = np.asarray(cr_p, np.float64)[:2] \
+                - np.asarray(com_p, np.float64)[:2]
+            edot = np.asarray(cr_v, np.float64)[:2] \
+                - np.asarray(com_v, np.float64)[:2]
+            self._wint = np.clip(self._wint + g["ki"] * self.dt * e,
+                                 -g["max"], g["max"])
+            corr = np.clip(g["kp"] * e + g["kd"] * edot + self._wint,
+                           -g["max"], g["max"])
+            r = dict(r)
+            wt = dict(r["waist_task"])
+            wt["p"] = wt["p"] + jnp.asarray(np.r_[corr, 0.0], jnp.float32)
+            r["waist_task"] = wt
+        return r
