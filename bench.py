@@ -47,8 +47,11 @@ def main():
     # "pallas" routes the vmapped throughput section through the fused
     # VMEM-resident whole-solve kernel (opt/pallas_qp.py); the unbatched
     # latency/rt-loop sections are unaffected (the kernel is batch-only by
-    # design — custom_vmap routes only vmapped solves).
-    ap.add_argument("--backend", default="xla", choices=("xla", "pallas"))
+    # design — custom_vmap routes only vmapped solves). Default since
+    # round 5: measured 76.5k vs 57.2k solves/s on TPU v5e at batch 1024
+    # with identical health gates (fail 0, prim 7.8e-5); `--backend xla`
+    # keeps the round-4 path for A/B.
+    ap.add_argument("--backend", default="pallas", choices=("xla", "pallas"))
     args = ap.parse_args()
 
     model = zoo.humanoid()  # 32 DoF + floating base

@@ -78,6 +78,7 @@ class ForceAccPlugin:
                  waist_kp: float = 100.0, postural_kp: float = 25.0,
                  force_reg_weight: float = 0.1,
                  wrench_reg_scale: float = 0.02,
+                 force_share_mode: str = "gate",
                  switchable_contacts: bool = False, wrench_dim: int = 3,
                  foot_tasks_6d: bool = True,
                  use_com_task: bool = False, com_task_weight: float = 1.0,
@@ -265,10 +266,17 @@ class ForceAccPlugin:
             # pins the contact-force distribution nullspace (see
             # tasks/force.py ForceReg); its wrench columns are disjoint from
             # the qddot tasks', so at this weight it cannot degrade tracking
+            # force_share_mode="static" anchors at the quasi-static split
+            # implied by the measured CoM instead of the equal gate-share —
+            # REQUIRED for biped weight transfer (see tasks/force.py
+            # ForceReg docstring for the measured skid the equal share
+            # causes); "gate" keeps the round-2 semantics.
             self.force_reg = ForceReg(
                 "FORCE_REG", self.wrenches, w_tan=force_reg_weight,
                 w_norm=0.5 * force_reg_weight,
-                gates_key="contacts" if switchable_contacts else None)
+                gates_key="contacts" if switchable_contacts else None,
+                share_mode=force_share_mode,
+                contact_links=list(contact_links))
             level2 = level2 + self.force_reg
         stack = (self.waist_task / level2) << self.dyn_feas
         # acceleration-level joint-limit avoidance (C8 analog; opt in for

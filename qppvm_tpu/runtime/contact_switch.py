@@ -81,6 +81,7 @@ class LegLiftScript:
                  margin: float = 0.08, lift_height: float = 0.05,
                  touch_depth: float = 0.005, swing_kp: float = 150.0,
                  swing_w: float = 4.0, postural_deweight: float = 0.05,
+                 stance_kp: float = None, stance_w: float = None,
                  dt: float = 1e-3, foothold_offset=(0.0, 0.0),
                  shift_mode: str = "edge"):
         """``foothold_offset``: (dx, dy) world displacement of the re-plant
@@ -101,6 +102,14 @@ class LegLiftScript:
         self.swing_kp = swing_kp
         self.swing_kd = 2.0 * float(np.sqrt(swing_kp))
         self.swing_w = swing_w
+        # Stance-feet gain/weight boost: the feet tasks are built at
+        # postural_kp (25) — enough for a settled stand, but measured on
+        # the biped gait a LIGHTLY-LOADED stance foot (fz < ~100 N during
+        # the transfer, cone grip ~mu*fz) gets dragged decimeters by the
+        # rest of the stack at kp 25. Pinning stance feet at a higher
+        # kp/weight makes the foot tasks win that trade.
+        self.stance_kp = stance_kp
+        self.stance_w = stance_w
         contacts = list(plugin.contact_links)
         self.foot_i = contacts.index(foot)
         self.support = [c for c in contacts if c != foot]
@@ -243,6 +252,16 @@ class LegLiftScript:
     def refs_at(self, i: int) -> Dict:
         ph, dt = self.ph, self.dt
         r = dict(self.refs)
+        if self.stance_kp is not None or self.stance_w is not None:
+            for c in self.support:
+                tr = dict(r[c + "_cartesian"])
+                if self.stance_kp is not None:
+                    tr["kp"] = jnp.asarray(self.stance_kp, jnp.float32)
+                    tr["kd"] = jnp.asarray(
+                        2.0 * float(np.sqrt(self.stance_kp)), jnp.float32)
+                if self.stance_w is not None:
+                    tr["w"] = jnp.asarray(self.stance_w, jnp.float32)
+                r[c + "_cartesian"] = tr
         t_shift = float(np.clip((i - self.t_shift0) * dt, 0.0,
                                ph.shift * dt))
         wp, wv, wa = min_jerk_pva(self.w0, self.w1, t_shift, ph.shift * dt)

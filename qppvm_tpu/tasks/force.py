@@ -43,9 +43,30 @@ class ForceReg(Task):
 
     def __init__(self, name: str, wrenches: Sequence[AffineExpr],
                  w_tan: float = 0.1, w_norm: float = 0.05,
-                 gates_key: Optional[str] = None, up_index: int = 2):
+                 gates_key: Optional[str] = None, up_index: int = 2,
+                 share_mode: str = "gate",
+                 contact_links: Optional[Sequence[str]] = None):
+        """``share_mode``:
+        - "gate" (default): equal share per unit gate (the round-2 anchor).
+        - "static": the share solves the QUASI-STATIC distribution at the
+          measured CoM — min ||w||^2 s.t. sum w_i = 1 and
+          sum w_i (p_i - com)_xy = 0 over the gated feet (3x3 KKT, solved
+          by adjugate — no factorization in the hot path). Measured
+          failure of the "gate" anchor on the biped weight shift: with
+          the CoM over one foot the equal-share pull keeps fz ~50/50, the
+          floating-base moment balance then saturates the +/-30 Nm foot
+          moment boxes, and the compromised torque solution skids the
+          robot sideways (commanded fz 502/532 N with the CoM over the
+          right sole, both feet sliding ~9 cm in 0.3 s). The static
+          anchor is weight support at the TRUE load split, so the moment
+          rows never fight the regularizer. Requires ``contact_links``.
+        """
         self.name = name
         self.wrenches = list(wrenches)
+        self.share_mode = share_mode
+        self.contact_links = list(contact_links) if contact_links else None
+        if share_mode == "static" and not self.contact_links:
+            raise ValueError("share_mode='static' needs contact_links")
         # Tangential/moment rows (target 0) can take a larger weight than
         # the normal rows (target = share): zero internal squeeze is always
         # statically consistent, while the share target is only consistent
@@ -72,7 +93,37 @@ class ForceReg(Task):
             g = jnp.ones(nc, ctx.dtype)
         W = ctx.data.total_mass * jnp.linalg.norm(
             ctx.model.gravity.astype(ctx.dtype))
-        share = W * g / jnp.maximum(jnp.sum(g), 1e-6)
+        if self.share_mode == "static":
+            # gate-masked quasi-static split at the measured CoM (see
+            # __init__): w = D A^T (A D A^T + eps I)^-1 [1,0,0], A rows =
+            # [ones; (p - com)_xy^T], D = diag(gates); clamp >= 0 and
+            # renormalize (CoM outside the gated polygon would otherwise
+            # demand negative support).
+            from qppvm_tpu.model import kinematics as _k
+            P = jnp.stack([_k.link_pose(ctx.model, ctx.data.kin, l)[1]
+                           for l in self.contact_links])      # (nc, 3)
+            d = P[:, :2] - ctx.data.com_pos[None, :2]         # (nc, 2)
+            A = jnp.concatenate([jnp.ones((1, nc), ctx.dtype), d.T],
+                                axis=0)                       # (3, nc)
+            M3 = (A * g[None, :]) @ A.T \
+                + 1e-5 * jnp.eye(3, dtype=ctx.dtype)
+            # adjugate 3x3 inverse (matmul-free; no factorization)
+            c00 = M3[1, 1] * M3[2, 2] - M3[1, 2] * M3[2, 1]
+            c01 = M3[0, 2] * M3[2, 1] - M3[0, 1] * M3[2, 2]
+            c02 = M3[0, 1] * M3[1, 2] - M3[0, 2] * M3[1, 1]
+            c10 = M3[1, 2] * M3[2, 0] - M3[1, 0] * M3[2, 2]
+            c11 = M3[0, 0] * M3[2, 2] - M3[0, 2] * M3[2, 0]
+            c12 = M3[0, 2] * M3[1, 0] - M3[0, 0] * M3[1, 2]
+            c20 = M3[1, 0] * M3[2, 1] - M3[1, 1] * M3[2, 0]
+            c21 = M3[0, 1] * M3[2, 0] - M3[0, 0] * M3[2, 1]
+            c22 = M3[0, 0] * M3[1, 1] - M3[0, 1] * M3[1, 0]
+            det = (M3[0, 0] * c00 + M3[0, 1] * c10 + M3[0, 2] * c20)
+            lam = jnp.stack([c00, c10, c20]) / jnp.maximum(
+                jnp.abs(det), 1e-12) * jnp.sign(det)          # Minv @ e1
+            w_sh = jnp.maximum(g * (A.T @ lam), 0.0)
+            share = W * w_sh / jnp.maximum(jnp.sum(w_sh), 1e-6)
+        else:
+            share = W * g / jnp.maximum(jnp.sum(g), 1e-6)
         f_des, row_w = [], []
         for i, wr in enumerate(self.wrenches):
             f_des.append(jnp.zeros(wr.size, ctx.dtype)
