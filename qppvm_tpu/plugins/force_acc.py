@@ -79,6 +79,7 @@ class ForceAccPlugin:
                  force_reg_weight: float = 0.1,
                  wrench_reg_scale: float = 0.02,
                  force_share_mode: str = "gate",
+                 waist_priority: str = "hard", waist_weight: float = 4.0,
                  switchable_contacts: bool = False, wrench_dim: int = 3,
                  foot_tasks_6d: bool = True,
                  use_com_task: bool = False, com_task_weight: float = 1.0,
@@ -261,6 +262,22 @@ class ForceAccPlugin:
         level2 = self.postural + feet_aggr
         if use_com_task:
             level2 = level2 + self.com_task
+        # ``waist_priority``: "hard" = 2-level cascade (waist / rest), the
+        # repo's round-1 choice; "soft" = ONE level with the waist at
+        # ``waist_weight`` — the REFERENCE's own stack shape
+        # (/root/reference/src/ForceAcc.cpp:131-133 stacks feet + postural
+        # + waist in a single level). The hard cascade has a measured
+        # failure mode in single support: once the stance CoP saturates,
+        # the ONLY way to satisfy the level-1 waist rows exactly is to
+        # recruit the free leg as a momentum actuator — level-2 foot
+        # tasks optimize strictly inside level-1's null space and cannot
+        # trade against it, so the swing foot gets flung decimeters
+        # (measured on the biped gait). Soft priority lets the foot tasks
+        # compete at comparable weight.
+        self.waist_priority = waist_priority
+        if waist_priority == "soft":
+            self.waist_task.weight = waist_weight
+            level2 = level2 + self.waist_task
         self.force_reg = None
         if force_reg_weight > 0.0:
             # pins the contact-force distribution nullspace (see
@@ -278,7 +295,10 @@ class ForceAccPlugin:
                 share_mode=force_share_mode,
                 contact_links=list(contact_links))
             level2 = level2 + self.force_reg
-        stack = (self.waist_task / level2) << self.dyn_feas
+        if waist_priority == "soft":
+            stack = level2 << self.dyn_feas
+        else:
+            stack = (self.waist_task / level2) << self.dyn_feas
         # acceleration-level joint-limit avoidance (C8 analog; opt in for
         # robots whose tasks push joints to their range edges, e.g. the
         # published humanoid.xml's at-the-stop knees)
