@@ -253,7 +253,14 @@ class LegLiftScript:
         ph, dt = self.ph, self.dt
         r = dict(self.refs)
         if self.stance_kp is not None or self.stance_w is not None:
-            for c in self.support:
+            # boost EVERY foot's ground-hold gains, not just the support
+            # set: the swing foot spends settle/shift/dwell/unload (and
+            # any unload-gate pause) planted-but-nearly-unloaded, and at
+            # the default kp 25 with ~zero cone grip it gets flung
+            # decimeters (measured: the flail window is exactly the gate
+            # pause). The lift/hold/lower branches below override the
+            # active swing foot with the swing gains.
+            for c in (self.support + [self.foot]):
                 tr = dict(r[c + "_cartesian"])
                 if self.stance_kp is not None:
                     tr["kp"] = jnp.asarray(self.stance_kp, jnp.float32)
