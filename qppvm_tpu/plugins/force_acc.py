@@ -86,6 +86,7 @@ class ForceAccPlugin:
                  com_kp: float = 25.0, com_kd: float = 10.0,
                  use_joint_limits: bool = False,
                  moment_box: Sequence[float] = (30.0, 30.0, 10.0),
+                 cop_box: Optional[Sequence[float]] = None,
                  dtype=jnp.float32,
                  solver_opts: Optional[Dict[str, Any]] = None):
         """``wrench_dim``: 3 = point contacts (reference semantics,
@@ -218,15 +219,32 @@ class ForceAccPlugin:
                 for cl, w, g in zip(contact_links, self.wrenches, gates)
             ]
             if self.wrench_dim == 6:
-                # CoP/torsion box on the moment part of each full wrench
-                # (``moment_box``: the sole's CoP authority — tighten it to
-                # a Hertz-patch scale for near-point feet)
-                t_ub = jnp.asarray(moment_box, dtype)
-                wrench_constraints += [
-                    GenericConstraint(cl + "_moment", w.rows([3, 4, 5]),
-                                      t_ub, -t_ub, gate=g)
-                    for cl, w, g in zip(contact_links, self.wrenches, gates)
-                ]
+                if cop_box is not None:
+                    # fz-PROPORTIONAL CoP/torsion box (tasks/generic.py
+                    # CoPBox): ``cop_box`` = (x_min, x_max, y_half,
+                    # t_coef) of the sole patch. Preferred for flat feet —
+                    # a static moment box binds before the patch edge at
+                    # high load and admits fictitious CoPs at low load.
+                    from qppvm_tpu.tasks.generic import CoPBox
+                    xm, xM, yh, tc = cop_box
+                    wrench_constraints += [
+                        CoPBox(cl + "_cop", w, x_min=xm, x_max=xM,
+                               y_half=yh, t_coef=tc, gate=g)
+                        for cl, w, g in zip(contact_links, self.wrenches,
+                                            gates)
+                    ]
+                else:
+                    # static CoP/torsion box on the moment part of each
+                    # full wrench (``moment_box``: the sole's CoP
+                    # authority — tighten it to a Hertz-patch scale for
+                    # near-point feet)
+                    t_ub = jnp.asarray(moment_box, dtype)
+                    wrench_constraints += [
+                        GenericConstraint(cl + "_moment", w.rows([3, 4, 5]),
+                                          t_ub, -t_ub, gate=g)
+                        for cl, w, g in zip(contact_links, self.wrenches,
+                                            gates)
+                    ]
         else:
             if self.wrench_dim == 6:
                 # Force rows match the reference bounds (+/-1000, unilateral

@@ -217,9 +217,15 @@ class GaitScript:
         self._t0 = int(t0)
         self._extra = 0
 
-    def _com_settled(self, state) -> bool:
-        """Measured CoM over the remaining support and slow (the unload
-        gate's condition)."""
+    def _com_settled(self, state):
+        """(settled, live support centroid xy) — measured CoM over the
+        remaining support and slow (the unload gate's condition). The
+        centroid is returned so a pausing gate can RETARGET the servo at
+        the support's CURRENT position: the transfer target was derived
+        from the stance foot's pose at the stride boundary, and if the
+        foot has crept since, holding the stale target deadlocks the gate
+        against its own criterion (measured: stride-1 fall with the CoM
+        caught between a stale c1 and a 20 cm-moved foot)."""
         kin = kinematics.fk(self.model, state)
         _, com_p = kinematics.com(self.model, kin)
         vel_all = kinematics.link_velocities(self.model, kin, state)
@@ -227,11 +233,25 @@ class GaitScript:
         sup = np.stack(
             [np.asarray(kin.p[self.model.link_index(c)], np.float64)[:2]
              for c in self._script.support])
-        err = float(np.linalg.norm(sup.mean(axis=0)
-                                   - np.asarray(com_p, np.float64)[:2]))
-        spd = float(np.linalg.norm(np.asarray(com_v, np.float64)[:2]))
+        cent = sup.mean(axis=0)
+        # gate on the TRANSFER-direction component only: the CoM sits at
+        # a permanent anatomical fore/aft offset from the foot ORIGIN
+        # (sole frames are at the ankle, the standing CoM centimeters
+        # ahead), so a full-norm criterion can never be met and the gate
+        # deadlocks at max_extra (measured). The balance-critical error
+        # for the unload decision is along the weight-transfer axis.
+        c0 = np.asarray(self._script.c0, np.float64)[:2]
+        c1 = np.asarray(self._script.c1, np.float64)[:2]
+        d = c1 - c0
+        n = np.linalg.norm(d)
+        d = d / n if n > 1e-6 else np.array([0.0, 1.0])
+        err = abs(float(np.dot(cent - np.asarray(com_p, np.float64)[:2],
+                               d)))
+        spd = abs(float(np.dot(np.asarray(com_v, np.float64)[:2], d)))
         g = self.unload_gate
-        return err <= g["tol_p"] and spd <= g["tol_v"]
+        # retarget only the transfer component toward the live centroid
+        cr = c1 + d * float(np.dot(cent - c1, d))
+        return (err <= g["tol_p"] and spd <= g["tol_v"]), cr
 
     def refs_at(self, i: int, state) -> Dict:
         """Per-tick refs (drive with monotonically increasing ``i``).
@@ -251,14 +271,19 @@ class GaitScript:
                                t0=self._t0 + self._script.total
                                + self._extra)
         j = i - self._t0 - self._extra
+        pause_cent = None
         if (self.unload_gate is not None
                 and j == self._script.t_unload0
-                and self._extra < self.unload_gate["max_extra"]
-                and not self._com_settled(state)):
-            # pause the script clock at the unload boundary: keep emitting
-            # the settled pre-unload refs until the CoM has arrived
-            self._extra += 1
-            j -= 1
+                and self._extra < self.unload_gate["max_extra"]):
+            settled, cent = self._com_settled(state)
+            if not settled:
+                # pause the script clock at the unload boundary: keep
+                # emitting the settled pre-unload refs, and RETARGET the
+                # CoM servo at the live support centroid (see
+                # _com_settled) until the CoM has actually arrived
+                self._extra += 1
+                j -= 1
+                pause_cent = cent
         jj = min(j, self._script.total - 1)  # tail holds the settled refs
         r = self._script.refs_at(jj)
         if self.com_servo is not None:
@@ -269,8 +294,9 @@ class GaitScript:
             com_v = kinematics.com_velocity(self.model, kin, state,
                                             vel_all)
             cr_p, cr_v = self._script.com_ref_at(jj)
-            e = np.asarray(cr_p, np.float64)[:2] \
-                - np.asarray(com_p, np.float64)[:2]
+            cr_xy = (pause_cent if pause_cent is not None
+                     else np.asarray(cr_p, np.float64)[:2])
+            e = cr_xy - np.asarray(com_p, np.float64)[:2]
             edot = np.asarray(cr_v, np.float64)[:2] \
                 - np.asarray(com_v, np.float64)[:2]
             self._wint = np.clip(self._wint + g["ki"] * self.dt * e,

@@ -175,3 +175,68 @@ class FrictionCone(Constraint):
             lb = g * lb + (1.0 - g) * (-offs)
             ub = g * ub + (1.0 - g) * (-offs)
         return ROWS, rows, lb, ub
+
+
+class CoPBox(Constraint):
+    """fz-proportional center-of-pressure / torsion box on a full 6D
+    contact wrench (flat ground, +z normal; moments about the link origin
+    in world frame). With CoP coordinates px = -my/fz, py = mx/fz:
+
+        x_min*fz <= -my <= x_max*fz      (px inside the sole patch)
+        -y_half*fz <= mx <= y_half*fz    (py inside the sole patch)
+        -t_coef*fz <= mz <= t_coef*fz    (torsion ~ torsional friction)
+
+    Linear in the wrench, same pyramid pattern as FrictionCone. REPLACES
+    a static moment box for flat feet: a constant +/-30 Nm box is
+    simultaneously too TIGHT at high load (it caps the CoP at 3.3 cm on a
+    5 cm sole under 900 N, binding before the physical patch edge exactly
+    when single-support balance needs the full sole) and fictitious at
+    low load (at 50 N it admits a CoP 60 cm outside the foot — commanded
+    moments the ground cannot produce, a measured instability source
+    during gait unloads). Gate semantics match FrictionCone: an inactive
+    contact's rows become equalities at 0.
+
+    North-star capability (SURVEY.md §2b C14 generalization); the
+    reference's analog is its +/-1 Nm static wrench box
+    (/root/reference/src/ForceAcc.cpp:74-76).
+    """
+
+    def __init__(self, name: str, wrench: AffineExpr,
+                 x_min: float = -0.05, x_max: float = 0.05,
+                 y_half: float = 0.05, t_coef: float = 0.01, gate=None):
+        assert wrench.size == 6, "CoPBox needs a full 6D wrench view"
+        self.name = name
+        self.wrench = wrench
+        self.x_min = float(x_min)
+        self.x_max = float(x_max)
+        self.y_half = float(y_half)
+        self.t_coef = float(t_coef)
+        self.gate = gate
+
+    def assemble(self, ctx: AssembleCtx):
+        W = self.wrench.M
+        c = self.wrench.c
+        fz, mx, my, mz = W[2], W[3], W[4], W[5]
+        cz, cmx, cmy, cmz = c[2], c[3], c[4], c[5]
+        rows = jnp.stack([
+            mx - self.y_half * fz,        # py <= y_half
+            -mx - self.y_half * fz,       # py >= -y_half
+            -my - self.x_max * fz,        # px <= x_max
+            my + self.x_min * fz,         # px >= x_min
+            mz - self.t_coef * fz,
+            -mz - self.t_coef * fz,
+        ])
+        offs = jnp.stack([
+            cmx - self.y_half * cz, -cmx - self.y_half * cz,
+            -cmy - self.x_max * cz, cmy + self.x_min * cz,
+            cmz - self.t_coef * cz, -cmz - self.t_coef * cz,
+        ])
+        big = jnp.asarray(1e20, ctx.dtype)
+        lb = jnp.full((6,), -big, ctx.dtype) - offs
+        ub = jnp.zeros((6,), ctx.dtype) - offs
+        if self.gate is not None:
+            key, idx = self.gate
+            g = ctx.refs[key]["active"][idx].astype(ctx.dtype)
+            lb = g * lb + (1.0 - g) * (-offs)
+            ub = g * ub + (1.0 - g) * (-offs)
+        return ROWS, rows, lb, ub
