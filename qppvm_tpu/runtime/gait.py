@@ -294,8 +294,29 @@ class GaitScript:
             com_v = kinematics.com_velocity(self.model, kin, state,
                                             vel_all)
             cr_p, cr_v = self._script.com_ref_at(jj)
-            cr_xy = (pause_cent if pause_cent is not None
-                     else np.asarray(cr_p, np.float64)[:2])
+            cr_xy = np.asarray(cr_p, np.float64)[:2]
+            if pause_cent is not None:
+                cr_xy = pause_cent
+            elif jj >= self._script.t_unload0:
+                # single-support phases: track the LIVE support centroid
+                # (transfer-direction component), not the stride-start
+                # absolute. Measured failure of the stale target: the
+                # stance foot pivot-walks outboard on its inner patch
+                # edge while the servo pins the CoM at old-c1 inboard of
+                # it — the CoP stays edge-loaded, the foot keeps walking,
+                # and the replant finds an unloadable geometry. With the
+                # ref following the foot, the CoP re-centers and the walk
+                # self-arrests.
+                sup = np.stack([np.asarray(
+                    kin.p[self.model.link_index(c)], np.float64)[:2]
+                    for c in self._script.support])
+                cent = sup.mean(axis=0)
+                c0 = np.asarray(self._script.c0, np.float64)[:2]
+                c1 = np.asarray(self._script.c1, np.float64)[:2]
+                d = c1 - c0
+                n = np.linalg.norm(d)
+                d = d / n if n > 1e-6 else np.array([0.0, 1.0])
+                cr_xy = c1 + d * float(np.dot(cent - c1, d))
             e = cr_xy - np.asarray(com_p, np.float64)[:2]
             edot = np.asarray(cr_v, np.float64)[:2] \
                 - np.asarray(com_v, np.float64)[:2]

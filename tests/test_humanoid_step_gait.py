@@ -6,10 +6,13 @@ reload, driven by the reference-faithful sync_model state tier
 (/root/reference/src/ForceAcc.cpp:256-282) rather than simulator ground
 truth. Covers the GaitScript boundary logic (re-anchor with pinned
 lateral reference, per-stride geometry from the live state) on the biped;
-the multi-stride quadruped walk is tests/test_gait_walk.py. (Chaining
-humanoid strides back-to-back currently destabilizes at the 2nd weight
-shift — the double-distance right-to-left transfer — and is documented as
-open work in docs/ARCHITECTURE.md.)
+the multi-stride quadruped walk is tests/test_gait_walk.py. Round 5
+FIXED the 2nd-weight-shift failure that used to block chaining (static
+ForceReg share + CoM servo + CoPBox + projected unload gate — the
+double-distance transfer now completes cleanly, see docs/ARCHITECTURE.md
+"Biped weight transfer"); the remaining multi-stride blocker (stance-
+sole outboard migration during extended single support) is pinned by
+the strict-xfail tests/test_humanoid_walk.py.
 """
 import numpy as np
 import jax.numpy as jnp
