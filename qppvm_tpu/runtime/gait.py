@@ -57,6 +57,7 @@ class GaitScript:
                  unload_gate: Optional[Dict] = None,
                  com_servo: Optional[float] = None,
                  com_servo_max: float = 0.15,
+                 relative_replant: bool = False,
                  tail: int = 300, **lift_kw):
         self.model = model
         self.plugin = plugin
@@ -140,6 +141,17 @@ class GaitScript:
             self.com_servo = None
         self.com_servo_max = float(com_servo_max)
         self._wint = np.zeros(2, np.float64)
+        # Re-aim each swing's TOUCHDOWN target at lower-phase entry,
+        # RELATIVE to the live support (nominal foot spacing from the
+        # support's current position) instead of the stride-start
+        # absolute. Measured failure of the absolute target: when the
+        # stance sole migrates during single support (the pivot-walk
+        # pinned by tests/test_humanoid_walk.py), the world-frame
+        # foothold drifts out of leg reach (the foot landed 5 cm short)
+        # and the reload finds an unloadable geometry. Relative replant
+        # restores the nominal support GEOMETRY and accepts global
+        # drift — the thing a walking robot actually controls.
+        self.relative_replant = bool(relative_replant)
         self._extra = 0
         self.lift_kw = lift_kw
         self.dt = float(lift_kw.get("dt", 1e-3))
@@ -284,6 +296,20 @@ class GaitScript:
                 self._extra += 1
                 j -= 1
                 pause_cent = cent
+        if self.relative_replant and j == self._script.t_lower0:
+            # re-aim the touchdown at nominal spacing from the LIVE
+            # support (see __init__) — lateral component only; continuity
+            # holds because the lower min-jerk starts exactly at pf_up
+            s = self._script
+            kin_r = kinematics.fk(self.model, state)
+            sup_y = float(np.mean(
+                [np.asarray(kin_r.p[self.model.link_index(c)],
+                            np.float64)[1] for c in s.support]))
+            nom_gap = self._y_nom[s.foot] - float(np.mean(
+                [self._y_nom[c] for c in s.support]))
+            pf = np.asarray(s.pf_dn, np.float64)
+            pf[1] = sup_y + nom_gap
+            s.pf_dn = jnp.asarray(pf, jnp.float32)
         jj = min(j, self._script.total - 1)  # tail holds the settled refs
         r = self._script.refs_at(jj)
         if self.com_servo is not None:
